@@ -1,0 +1,182 @@
+"""ArcFace embedders: iResNet (w600k_r50) and MobileFaceNet (w600k_mbf).
+
+TPU-native Flax re-implementations of the two recognition graphs the
+reference runs through onnxruntime (/root/reference/models/arcface.py:18-21;
+weights listed at README.md:60-61). Contract (arcface.py:13-14, 26, 36):
+112x112 input normalized (x-127.5)/127.5 RGB, single 512-d output.
+
+Architectures follow the public insightface training code for these weights:
+- w600k_r50  = iResNet-50: 3x3 stem (stride 1), IBasicBlocks
+  [BN-Conv-BN-PReLU-Conv(s)-BN] with stages (3, 4, 14, 3) x (64, 128, 256,
+  512), head BN -> flatten(7*7*512) -> FC(512) -> feature BN.
+- w600k_mbf  = MobileFaceNet: PReLU depthwise-separable bottlenecks + global
+  depthwise conv (GDC) head -> FC(512) -> feature BN.
+
+NHWC layout; params live in f32, compute dtype is configurable (bf16 on TPU).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import PReLU, ConvBN, conv_kernel_init
+
+
+@dataclasses.dataclass(frozen=True)
+class ArcFaceConfig:
+    name: str
+    arch: str                      # "iresnet" | "mobilefacenet"
+    emb_dim: int = 512
+    input_size: Tuple[int, int] = (112, 112)
+    # iresnet
+    stage_blocks: Sequence[int] = (3, 4, 14, 3)
+    stage_filters: Sequence[int] = (64, 128, 256, 512)
+    # mobilefacenet
+    mbf_blocks: Sequence[int] = (1, 4, 6, 2)
+    mbf_scale: int = 2
+
+
+class IBasicBlock(nn.Module):
+    """Improved-ResNet basic block: BN-Conv3x3-BN-PReLU-Conv3x3(s)-BN + skip."""
+    filters: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        bn_kw = dict(use_running_average=not train, momentum=0.9,
+                     epsilon=1e-5, dtype=self.dtype)
+        out = nn.BatchNorm(name="bn1", **bn_kw)(x)
+        out = nn.Conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)],
+                      use_bias=False, kernel_init=conv_kernel_init,
+                      dtype=self.dtype, name="conv1")(out)
+        out = nn.BatchNorm(name="bn2", **bn_kw)(out)
+        out = PReLU(dtype=self.dtype, name="prelu")(out)
+        out = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], use_bias=False,
+                      kernel_init=conv_kernel_init, dtype=self.dtype,
+                      name="conv2")(out)
+        out = nn.BatchNorm(name="bn3", **bn_kw)(out)
+
+        if self.stride != 1 or x.shape[-1] != self.filters:
+            identity = nn.Conv(self.filters, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, kernel_init=conv_kernel_init,
+                               dtype=self.dtype, name="down_conv")(x)
+            identity = nn.BatchNorm(name="down_bn", **bn_kw)(identity)
+        else:
+            identity = x
+        return out + identity
+
+
+class IResNet(nn.Module):
+    """iResNet trunk + ArcFace embedding head."""
+    config: ArcFaceConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.config
+        bn_kw = dict(use_running_average=not train, momentum=0.9,
+                     epsilon=1e-5, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        x = nn.Conv(cfg.stage_filters[0], (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, kernel_init=conv_kernel_init,
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.BatchNorm(name="stem_bn", **bn_kw)(x)
+        x = PReLU(dtype=self.dtype, name="stem_prelu")(x)
+
+        for si, (nblocks, filters) in enumerate(zip(cfg.stage_blocks, cfg.stage_filters)):
+            for bi in range(nblocks):
+                stride = 2 if bi == 0 else 1
+                x = IBasicBlock(filters, stride, dtype=self.dtype,
+                                name=f"layer{si + 1}_block{bi}")(x, train=train)
+
+        x = nn.BatchNorm(name="head_bn", **bn_kw)(x)
+        x = x.reshape(x.shape[0], -1)  # (B, 7*7*512) for 112x112 r50
+        x = nn.Dense(cfg.emb_dim, dtype=self.dtype, name="fc")(x)
+        # Feature BN (1-d affine over the embedding, as in insightface).
+        x = nn.BatchNorm(name="features_bn", use_scale=True, use_bias=True, **bn_kw)(x)
+        return x.astype(jnp.float32)
+
+
+class MBFBottleneck(nn.Module):
+    """MobileFaceNet inverted-residual: 1x1 expand, 3x3 dw, 1x1 project."""
+    filters: int
+    stride: int
+    expansion: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        hidden = in_ch * self.expansion
+        out = ConvBN(hidden, (1, 1), padding=0, prelu=True,
+                     dtype=self.dtype, name="expand")(x, train=train)
+        out = ConvBN(hidden, (3, 3), strides=(self.stride, self.stride),
+                     padding=1, groups=hidden, prelu=True,
+                     dtype=self.dtype, name="dw")(out, train=train)
+        out = ConvBN(self.filters, (1, 1), padding=0,
+                     dtype=self.dtype, name="project")(out, train=train)
+        if self.stride == 1 and in_ch == self.filters:
+            out = out + x
+        return out
+
+
+class MobileFaceNet(nn.Module):
+    """MobileFaceNet (w600k_mbf-style: width scale + GDC head, 512-d out)."""
+    config: ArcFaceConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.config
+        s = cfg.mbf_scale
+        x = x.astype(self.dtype)
+        x = ConvBN(64 * s, (3, 3), strides=(2, 2), padding=1, prelu=True,
+                   dtype=self.dtype, name="stem")(x, train=train)
+        x = ConvBN(64 * s, (3, 3), padding=1, groups=64 * s, prelu=True,
+                   dtype=self.dtype, name="stem_dw")(x, train=train)
+
+        # (expansion, out_ch, num_blocks, first_stride) per stage.
+        stages = [
+            (2, 64 * s, cfg.mbf_blocks[0], 2),
+            (4, 128 * s, cfg.mbf_blocks[1], 2),
+            (2, 128 * s, cfg.mbf_blocks[2], 1),
+            (4, 128 * s, cfg.mbf_blocks[3], 2),
+        ]
+        for si, (t, c, n, s0) in enumerate(stages):
+            for bi in range(n):
+                stride = s0 if bi == 0 else 1
+                x = MBFBottleneck(c, stride, t, dtype=self.dtype,
+                                  name=f"stage{si}_block{bi}")(x, train=train)
+
+        x = ConvBN(512, (1, 1), padding=0, prelu=True,
+                   dtype=self.dtype, name="conv_head")(x, train=train)
+        # Global depthwise conv over the 7x7 map (GDC).
+        x = ConvBN(512, (7, 7), padding=0, groups=512,
+                   dtype=self.dtype, name="gdc")(x, train=train)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(cfg.emb_dim, use_bias=False, dtype=self.dtype, name="fc")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="features_bn")(x)
+        return x.astype(jnp.float32)
+
+
+ARCFACE_CONFIGS = {
+    "w600k_r50": ArcFaceConfig(name="w600k_r50", arch="iresnet",
+                               stage_blocks=(3, 4, 14, 3),
+                               stage_filters=(64, 128, 256, 512)),
+    "w600k_mbf": ArcFaceConfig(name="w600k_mbf", arch="mobilefacenet",
+                               mbf_blocks=(1, 4, 6, 2), mbf_scale=2),
+}
+
+
+def build_arcface(name: str, dtype: Any = jnp.float32) -> nn.Module:
+    cfg = ARCFACE_CONFIGS[name]
+    if cfg.arch == "iresnet":
+        return IResNet(cfg, dtype=dtype)
+    return MobileFaceNet(cfg, dtype=dtype)

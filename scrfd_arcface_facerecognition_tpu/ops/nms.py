@@ -1,0 +1,92 @@
+"""Static-shape greedy NMS + face selection, TPU-friendly.
+
+Replicates /root/reference/models/scrfd.py:180-207 (legacy +1-offset IoU,
+greedy score-ordered suppression) and :159-177 (max_num selection by area or
+center-weighted area), but with fixed shapes: candidates arrive as a
+score-sorted top-K slate with a validity mask, the suppression loop is a
+lax.fori_loop over the precomputed K x K IoU matrix, and outputs are padded
+to a static MAX_DET with a count — no data-dependent shapes ever reach XLA.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def iou_matrix_legacy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(K, 4) x1y1x2y2 -> (K, K) IoU with the reference's +1 offsets."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
+    h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
+    inter = w * h
+    return inter / (areas[:, None] + areas[None, :] - inter)
+
+
+def nms_mask(boxes: jnp.ndarray, iou_thres: float,
+             valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Greedy NMS over score-DESC-sorted boxes; returns keep mask (K,).
+
+    boxes must already be sorted by score descending (the reference sorts
+    before nms, scrfd.py:144-152). Invalid slots are never kept and never
+    suppress others.
+    """
+    k = boxes.shape[0]
+    iou = iou_matrix_legacy(boxes)
+    idx = jnp.arange(k)
+    if valid is None:
+        valid = jnp.ones((k,), dtype=bool)
+
+    def body(i, keep):
+        keep_i = keep[i]
+        suppress = (iou[i] > iou_thres) & (idx > i) & keep_i
+        return keep & ~suppress
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+def compact_by_mask(mask: jnp.ndarray, *arrays: jnp.ndarray,
+                    max_out: int) -> Tuple[jnp.ndarray, ...]:
+    """Stable-compact rows where mask is True to the front, pad to max_out.
+
+    Returns (count, compacted_mask, *compacted_arrays). Order among kept rows
+    is preserved (score-descending order survives), matching pre_det[keep]
+    at scrfd.py:153.
+    """
+    order = jnp.argsort(jnp.logical_not(mask), stable=True)
+    order = order[:max_out]
+    out_mask = mask[order]
+    count = jnp.sum(mask.astype(jnp.int32))
+    outs = tuple(a[order] * 1 for a in arrays)  # gather rows
+    return (count, out_mask) + outs
+
+
+def select_top_faces(det: jnp.ndarray, kps: jnp.ndarray, valid: jnp.ndarray,
+                     max_num: int, metric: str = "max",
+                     frame_hw: Optional[Tuple[int, int]] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """max_num selection (scrfd.py:159-177), static-shape.
+
+    det: (K, 5) [x1 y1 x2 y2 score]; kps: (K, 5, 2); valid: (K,) mask.
+    Picks the max_num best faces by area (metric="max") or center-weighted
+    area (metric="default"), returning (max_num, ...) padded arrays + mask.
+    """
+    area = (det[:, 2] - det[:, 0]) * (det[:, 3] - det[:, 1])
+    if metric == "max":
+        values = area
+    else:
+        if frame_hw is None:
+            raise ValueError("frame_hw required for metric='default'")
+        cy, cx = frame_hw[0] // 2, frame_hw[1] // 2
+        ox = (det[:, 0] + det[:, 2]) / 2 - cx
+        oy = (det[:, 1] + det[:, 3]) / 2 - cy
+        values = area - (ox * ox + oy * oy) * 2.0
+    values = jnp.where(valid, values, -jnp.inf)
+    _, top_idx = jax.lax.top_k(values, max_num)
+    return det[top_idx], kps[top_idx], valid[top_idx]

@@ -1,0 +1,28 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Mirrors SURVEY.md §4: multi-chip behavior is tested on a fake mesh via
+``--xla_force_host_platform_device_count=8`` so sharded gallery matching and
+the DP/TP training step are testable without TPU hardware.
+
+Note: this machine's sitecustomize imports jax at interpreter startup (the
+axon TPU tunnel), so setting JAX_PLATFORMS via os.environ is too late —
+jax.config.update is required to actually select the CPU backend.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Make the repo root importable regardless of cwd.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
