@@ -171,7 +171,7 @@ ARCFACE_CONFIGS = {
                                stage_blocks=(3, 4, 14, 3),
                                stage_filters=(64, 128, 256, 512)),
     "w600k_mbf": ArcFaceConfig(name="w600k_mbf", arch="mobilefacenet",
-                               mbf_blocks=(1, 4, 6, 2), mbf_scale=2),
+                               mbf_blocks=(1, 2, 4, 2), mbf_scale=2),
 }
 
 

@@ -47,7 +47,7 @@ SCRFD_CONFIGS = {
     # Approximations of the paper's SCRFD-0.5GF / 2.5GF / 10GF settings,
     # sized to the released weight files (2.41 / 3.14 / 16.1 MB fp32).
     "det_500m": SCRFDConfig("det_500m", 16, (3, 3, 2, 2), (16, 16, 40, 72),
-                            neck_filters=16, head_stacks=2, head_filters=64),
+                            neck_filters=24, head_stacks=3, head_filters=96),
     "det_2.5g": SCRFDConfig("det_2.5g", 24, (3, 4, 2, 3), (24, 48, 48, 80),
                             neck_filters=24, head_stacks=2, head_filters=64),
     "det_10g": SCRFDConfig("det_10g", 56, (3, 5, 2, 3), (56, 56, 144, 248),
