@@ -1,0 +1,160 @@
+"""SCRFD detection pipeline: letterbox -> forward -> decode -> NMS, one jit.
+
+Replicates SCRFD.detect (/root/reference/models/scrfd.py:122-178) with
+static shapes: candidates are a top-K_pre score slate instead of a dynamic
+np.where, NMS is the fixed-size masked kernel from ops/nms.py, and results
+are (max_det,) padded with a validity mask. Output coordinates are in
+original-frame pixels (divided by det_scale) exactly like the reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import build_scrfd
+from ..models.scrfd import SCRFD_CONFIGS
+from .. import ops
+
+
+class Detections(NamedTuple):
+    """Padded detection results for a batch of frames.
+
+    boxes: (B, max_det, 4) x1y1x2y2 in original-frame pixels
+    scores: (B, max_det)
+    kps: (B, max_det, 5, 2)
+    valid: (B, max_det) bool
+    count: (B,) int32
+    """
+    boxes: jnp.ndarray
+    scores: jnp.ndarray
+    kps: jnp.ndarray
+    valid: jnp.ndarray
+    count: jnp.ndarray
+
+
+def decode_outputs(outputs: Dict[str, list], input_size: Tuple[int, int],
+                   strides=ops.anchors.SCRFD_STRIDES) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Concatenate per-stride head outputs and decode against anchor grids.
+
+    Mirrors scrfd.py:89-119: bbox/kps predictions are multiplied by stride,
+    decoded via distance2bbox/kps around the anchor centers, and stacked in
+    stride order. Returns (B, N) scores, (B, N, 4) boxes, (B, N, 5, 2) kps
+    in letterboxed-input pixels.
+    """
+    h, w = input_size
+    all_scores, all_boxes, all_kps = [], [], []
+    for li, stride in enumerate(strides):
+        centers = ops.anchor_centers(h // stride, w // stride, stride)  # (n, 2)
+        scores = outputs["scores"][li][..., 0]            # (B, n)
+        boxes = ops.distance2bbox(centers, outputs["bboxes"][li] * stride)
+        kps = ops.distance2kps(centers, outputs["kps"][li] * stride)
+        all_scores.append(scores)
+        all_boxes.append(boxes)
+        all_kps.append(kps)
+    return (jnp.concatenate(all_scores, axis=1),
+            jnp.concatenate(all_boxes, axis=1),
+            jnp.concatenate(all_kps, axis=1))
+
+
+def detect_batch(apply_fn, variables, frames: jnp.ndarray, *,
+                 plan: ops.LetterboxPlan, conf_thres: float, iou_thres: float,
+                 pre_nms: int, max_det: int, max_num: int = 0,
+                 metric: str = "max") -> Detections:
+    """Full detect over (B, H, W, 3) uint8 BGR frames. Jit-traceable."""
+    input_size = plan.model_hw
+    canvas = ops.letterbox(frames, plan)                       # (B, 640, 640, 3) f32
+    net_in = ops.normalize_image(canvas, ops.SCRFD_MEAN, ops.SCRFD_STD)
+    outputs = apply_fn(variables, net_in)
+    scores, boxes, kps = decode_outputs(outputs, input_size)
+
+    # Top-K_pre slate (replaces np.where threshold + global argsort,
+    # scrfd.py:109/:144 — ordering by score is identical).
+    top_scores, top_idx = jax.lax.top_k(scores, pre_nms)       # (B, K)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_kps = jnp.take_along_axis(kps, top_idx[..., None, None], axis=1)
+
+    inv_scale = 1.0 / plan.det_scale                           # scrfd.py:145-148
+    top_boxes = top_boxes * inv_scale
+    top_kps = top_kps * inv_scale
+    valid = top_scores >= conf_thres
+
+    def per_frame(boxes_f, scores_f, kps_f, valid_f):
+        keep = ops.nms_mask(boxes_f, iou_thres, valid_f)
+        det = jnp.concatenate([boxes_f, scores_f[:, None]], axis=1)
+        count, mask, det_c, kps_c = ops.nms.compact_by_mask(
+            keep, det, kps_f, max_out=max_det)
+        if 0 < max_num < max_det:
+            det_c, kps_c, mask = ops.select_top_faces(
+                det_c, kps_c, mask, max_num, metric, plan.frame_hw)
+            count = jnp.minimum(count, max_num)
+        return det_c, kps_c, mask, count
+
+    det_c, kps_c, mask, count = jax.vmap(per_frame)(
+        top_boxes, top_scores, top_kps, valid)
+    return Detections(boxes=det_c[..., :4], scores=det_c[..., 4],
+                      kps=kps_c, valid=mask, count=count)
+
+
+class Detector:
+    """User-facing SCRFD detector (API mirror of scrfd.py:18-24, 122).
+
+    >>> det = Detector("det_10g", conf_thres=0.5, iou_thres=0.4)
+    >>> boxes, kps = det.detect(frame_bgr_u8, max_num=0)
+    """
+
+    def __init__(self, variant: str = "det_10g", variables: Optional[Any] = None,
+                 input_size: Tuple[int, int] = (640, 640),
+                 conf_thres: float = 0.5, iou_thres: float = 0.4,
+                 pre_nms: int = 256, max_det: int = 64,
+                 dtype: Any = jnp.float32, seed: int = 0):
+        if variant not in SCRFD_CONFIGS:
+            raise ValueError(f"unknown SCRFD variant {variant!r}")
+        self.variant = variant
+        self.model = build_scrfd(variant, dtype=dtype)
+        self.input_size = (input_size[1], input_size[0])  # store as (h, w)
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.pre_nms = pre_nms
+        self.max_det = max_det
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, *self.input_size, 3), jnp.float32))
+        self.variables = variables
+        self._jitted = {}
+
+    def _fn(self, frame_hw: Tuple[int, int], max_num: int, metric: str):
+        key = (frame_hw, max_num, metric)
+        if key not in self._jitted:
+            plan = ops.letterbox_plan(frame_hw, self.input_size)
+            fn = functools.partial(
+                detect_batch, self.model.apply,
+                plan=plan, conf_thres=self.conf_thres,
+                iou_thres=self.iou_thres, pre_nms=self.pre_nms,
+                max_det=self.max_det, max_num=max_num, metric=metric)
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def detect_batched(self, frames: jnp.ndarray, max_num: int = 0,
+                       metric: str = "max") -> Detections:
+        """(B, H, W, 3) uint8 BGR -> Detections (device arrays, padded)."""
+        fn = self._fn(tuple(frames.shape[1:3]), max_num, metric)
+        return fn(self.variables, frames)
+
+    def detect(self, image, max_num: int = 0, metric: str = "max"):
+        """Single-image API with the reference's return convention:
+
+        (det[N, 5], kps[N, 5, 2]) numpy arrays, N = surviving faces.
+        """
+        import numpy as np
+
+        frames = jnp.asarray(np.asarray(image)[None])
+        d = self.detect_batched(frames, max_num=max_num, metric=metric)
+        n = int(d.count[0])
+        det = np.concatenate(
+            [np.asarray(d.boxes[0][:n]), np.asarray(d.scores[0][:n])[:, None]],
+            axis=1)
+        return det, np.asarray(d.kps[0][:n])

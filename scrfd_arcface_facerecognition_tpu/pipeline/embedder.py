@@ -1,0 +1,93 @@
+"""ArcFace embedding pipeline: umeyama-align -> warp -> embed -> L2, one jit.
+
+Replicates ArcFace.__call__/get_feat (/root/reference/models/arcface.py:39-57)
+and norm_crop_image (helpers.py:56-59): faces are aligned out of the
+*original* frame by their 5 landmarks, warped to 112x112, normalized
+(x-127.5)/127.5 with BGR->RGB swap, and embedded to 512-d.
+Batched over frames x face slots; invalid slots produce zero embeddings.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import build_arcface
+from ..models.arcface import ARCFACE_CONFIGS
+from .. import ops
+
+
+def embed_faces(apply_fn, variables, frames: jnp.ndarray, kps: jnp.ndarray,
+                valid: jnp.ndarray, *, image_size: int = 112,
+                l2: bool = True) -> jnp.ndarray:
+    """frames (B, H, W, 3) u8 BGR; kps (B, K, 5, 2); valid (B, K) ->
+    (B, K, 512) embeddings (L2-normalized unless l2=False; invalid -> 0)."""
+    b, k = kps.shape[0], kps.shape[1]
+    matrices = ops.estimate_norm(kps, image_size)              # (B, K, 2, 3)
+    frames_f = frames.astype(jnp.float32)
+
+    warp = functools.partial(ops.warp_affine, out_hw=(image_size, image_size))
+    crops = jax.vmap(lambda img, ms: jax.vmap(lambda m: warp(img, m))(ms))(
+        frames_f, matrices)                                    # (B, K, s, s, 3)
+
+    net_in = ops.normalize_image(crops, ops.ARCFACE_MEAN, ops.ARCFACE_STD)
+    flat = net_in.reshape(b * k, image_size, image_size, 3)
+    emb = apply_fn(variables, flat).reshape(b, k, -1)          # (B, K, 512)
+    if l2:
+        emb = ops.l2_normalize(emb)
+    return emb * valid[..., None].astype(emb.dtype)
+
+
+class Embedder:
+    """User-facing ArcFace embedder (API mirror of arcface.py:11, 39, 54)."""
+
+    def __init__(self, variant: str = "w600k_r50",
+                 variables: Optional[Any] = None,
+                 dtype: Any = jnp.float32, seed: int = 0):
+        if variant not in ARCFACE_CONFIGS:
+            raise ValueError(f"unknown ArcFace variant {variant!r}")
+        self.variant = variant
+        self.model = build_arcface(variant, dtype=dtype)
+        self.input_size = (112, 112)
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, 112, 112, 3)))
+        self.variables = variables
+        self._jitted = {}
+
+    def _fn(self, frame_hw: Tuple[int, int], l2: bool):
+        key = (frame_hw, l2)
+        if key not in self._jitted:
+            fn = functools.partial(embed_faces, self.model.apply, l2=l2)
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def embed_batched(self, frames: jnp.ndarray, kps: jnp.ndarray,
+                      valid: jnp.ndarray, l2: bool = True) -> jnp.ndarray:
+        return self._fn(tuple(frames.shape[1:3]), l2)(
+            self.variables, frames, kps, valid)
+
+    def get_feat(self, aligned_images) -> "np.ndarray":
+        """Embed pre-aligned 112x112 BGR crops (arcface.py:39-52). No L2
+        normalization — the reference returns raw ONNX outputs here."""
+        import numpy as np
+
+        imgs = np.asarray(aligned_images)
+        if imgs.ndim == 3:
+            imgs = imgs[None]
+        net_in = ops.normalize_image(jnp.asarray(imgs), ops.ARCFACE_MEAN,
+                                     ops.ARCFACE_STD)
+        return np.asarray(self.model.apply(self.variables, net_in))
+
+    def __call__(self, image, kps) -> "np.ndarray":
+        """Align one face out of `image` by 5 landmarks and embed
+        (arcface.py:54-57). Returns the flat raw 512-d embedding."""
+        import numpy as np
+
+        frames = jnp.asarray(np.asarray(image)[None])
+        kps_b = jnp.asarray(np.asarray(kps, dtype=np.float32))[None, None]
+        valid = jnp.ones((1, 1), dtype=bool)
+        emb = self.embed_batched(frames, kps_b, valid, l2=False)
+        return np.asarray(emb[0, 0])

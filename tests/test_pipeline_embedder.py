@@ -1,0 +1,97 @@
+"""Embedder pipeline: alignment parity with the cv2 path + API behavior."""
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from scrfd_arcface_facerecognition_tpu import ops
+from scrfd_arcface_facerecognition_tpu.pipeline import Embedder, FacePipeline
+from oracles import np_umeyama
+
+
+def _landmarks(offset, scale=1.5):
+    return (np.asarray(ops.ARCFACE_DST) * scale + np.asarray(offset)).astype(np.float32)
+
+
+def test_embed_matches_cv2_aligned_path():
+    """Pipeline embedding == get_feat(cv2-warped crop): same model, two
+    alignment paths (fused JAX warp vs cv2.warpAffine oracle)."""
+    emb = Embedder("w600k_mbf", seed=0)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, size=(480, 640, 3), dtype=np.uint8)
+    kps = _landmarks((150.0, 100.0)) + rng.normal(scale=1.5, size=(5, 2)).astype(np.float32)
+
+    got = emb(frame, kps)  # raw (un-normalized) embedding, pipeline warp
+
+    m = np_umeyama(kps, np.asarray(ops.ARCFACE_DST)).astype(np.float32)
+    crop = cv2.warpAffine(frame.astype(np.float32), m, (112, 112), borderValue=0.0)
+    want = emb.get_feat(crop)[0]
+
+    cos = np.dot(got, want) / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.999, cos
+
+
+def test_embed_batched_invalid_slots_zero():
+    emb = Embedder("w600k_mbf", seed=0)
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 255, size=(2, 240, 320, 3), dtype=np.uint8)
+    kps = np.stack([
+        np.stack([_landmarks((60, 40)), _landmarks((120, 60))]),
+        np.stack([_landmarks((30, 30)), _landmarks((90, 80))]),
+    ])  # (2, 2, 5, 2)
+    valid = np.array([[True, False], [True, True]])
+    out = np.asarray(emb.embed_batched(jnp.asarray(frame), jnp.asarray(kps),
+                                       jnp.asarray(valid)))
+    assert out.shape == (2, 2, 512)
+    assert np.all(out[0, 1] == 0.0)
+    norms = np.linalg.norm(out, axis=-1)
+    np.testing.assert_allclose(norms[valid], 1.0, atol=1e-5)
+
+
+def test_get_feat_batch_and_single_agree():
+    emb = Embedder("w600k_mbf", seed=0)
+    rng = np.random.default_rng(2)
+    crops = rng.integers(0, 255, size=(3, 112, 112, 3), dtype=np.uint8)
+    batch = emb.get_feat(crops)
+    singles = np.stack([emb.get_feat(c)[0] for c in crops])
+    np.testing.assert_allclose(batch, singles, atol=1e-4)
+
+
+def test_face_pipeline_self_match():
+    """A face whose embedding is in the gallery must match itself with
+    similarity ~1 through the fully fused program."""
+    pipe = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
+                        conf_thres=0.003, pre_nms=64, max_det=4,
+                        gallery_capacity=8, similarity_thresh=0.4, seed=0)
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, size=(360, 480, 3), dtype=np.uint8)
+    out = pipe(frame)
+    n = int(out.count[0])
+    if n == 0:  # random weights may yield no confident det; force via thresh
+        pipe.detector.conf_thres = 0.0
+        pipe._jitted.clear()
+        out = pipe(frame)
+        n = int(out.count[0])
+    assert n > 0
+    emb0 = np.asarray(out.embeddings[0, 0])
+    pipe.set_gallery(emb0[None], ["alice"])
+    out2 = pipe(frame)
+    assert float(out2.match_sim[0, 0]) > 0.999
+    assert int(out2.match_idx[0, 0]) == 0
+    names = pipe.match_names(out2)
+    assert names[0][0] == "alice"
+
+
+def test_face_pipeline_unknown_below_threshold():
+    pipe = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
+                        conf_thres=0.0, pre_nms=64, max_det=4,
+                        gallery_capacity=8, similarity_thresh=0.99, seed=0)
+    rng = np.random.default_rng(4)
+    frame = rng.integers(0, 255, size=(360, 480, 3), dtype=np.uint8)
+    # orthogonal-ish random gallery: should not match at 0.99 threshold
+    g = rng.normal(size=(3, 512)).astype(np.float32)
+    pipe.set_gallery(g, ["a", "b", "c"])
+    out = pipe(frame)
+    n = int(out.count[0])
+    assert n > 0
+    assert int(out.match_idx[0, 0]) == -1
+    assert pipe.match_names(out)[0][0] == "Unknown"
