@@ -1,0 +1,143 @@
+"""Gallery store (Qdrant-surface) + G x G dedup tests."""
+import numpy as np
+import pytest
+
+from scrfd_arcface_facerecognition_tpu.gallery import (
+    GalleryStore, all_pairs_similarity, find_duplicate_pairs, duplicate_groups)
+
+
+def _unit(rng, n=1, d=512):
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_add_search_roundtrip():
+    rng = np.random.default_rng(0)
+    store = GalleryStore(capacity=16)
+    vecs = _unit(rng, 5)
+    for i, v in enumerate(vecs):
+        assert store.add_embedding(100 + i, v, {"name": f"p{i}"})
+    assert store.get_embedding_count() == 5
+
+    hits = store.search_similar(vecs[2], k=3)
+    assert hits[0].id == 102
+    assert hits[0].score > 0.999
+    assert hits[0].payload == {"name": "p2"}
+
+
+def test_search_threshold_filters():
+    rng = np.random.default_rng(1)
+    store = GalleryStore(capacity=16)
+    vecs = _unit(rng, 4)
+    for i, v in enumerate(vecs):
+        store.add_embedding(i, v)
+    hits = store.search_similar(vecs[0], k=4, threshold=0.9)
+    assert [h.id for h in hits] == [0]
+
+
+def test_search_batch_matches_single():
+    rng = np.random.default_rng(2)
+    store = GalleryStore(capacity=32)
+    for i, v in enumerate(_unit(rng, 10)):
+        store.add_embedding(i, v)
+    queries = _unit(rng, 3)
+    batched = store.search_batch(queries, k=4)
+    for q, row in zip(queries, batched):
+        single = store.search_similar(q, k=4)
+        assert [h.id for h in row] == [h.id for h in single]
+        np.testing.assert_allclose([h.score for h in row],
+                                   [h.score for h in single], atol=1e-6)
+
+
+def test_update_delete_clear():
+    rng = np.random.default_rng(3)
+    store = GalleryStore(capacity=8)
+    v1, v2 = _unit(rng, 2)
+    store.add_embedding(1, v1, {"a": 1})
+    assert store.update_embedding(1, v2, {"a": 2})
+    np.testing.assert_allclose(store.get_embedding(1), v2, atol=1e-6)
+    assert store.get_payload(1) == {"a": 2}
+    assert not store.update_embedding(99, v1)
+
+    assert store.delete_embedding(1)
+    assert not store.delete_embedding(1)
+    assert store.get_embedding(1) is None
+    assert store.get_embedding_count() == 0
+
+    store.add_embedding(2, v1)
+    assert store.clear_all()
+    assert store.get_embedding_count() == 0
+    assert store.search_similar(v1, k=3) == []
+
+
+def test_capacity_growth():
+    rng = np.random.default_rng(4)
+    store = GalleryStore(capacity=4)
+    vecs = _unit(rng, 10)
+    for i, v in enumerate(vecs):
+        store.add_embedding(i, v)
+    assert store.get_embedding_count() == 10
+    assert store.capacity >= 10
+    hits = store.search_similar(vecs[7], k=1)
+    assert hits[0].id == 7
+
+
+def test_deleted_row_reuse_never_resurrects():
+    rng = np.random.default_rng(5)
+    store = GalleryStore(capacity=4)
+    a, b = _unit(rng, 2)
+    store.add_embedding(1, a)
+    store.delete_embedding(1)
+    store.add_embedding(2, b)
+    hits = store.search_similar(a, k=4)
+    assert all(h.id != 1 for h in hits)
+
+
+def test_snapshot_restore(tmp_path):
+    rng = np.random.default_rng(6)
+    store = GalleryStore(capacity=8)
+    vecs = _unit(rng, 3)
+    for i, v in enumerate(vecs):
+        store.add_embedding(i, v, {"name": f"n{i}"})
+    path = str(tmp_path / "gallery.npz")
+    store.snapshot(path)
+    restored = GalleryStore.restore(path)
+    assert restored.get_embedding_count() == 3
+    for i, v in enumerate(vecs):
+        np.testing.assert_allclose(restored.get_embedding(i), v, atol=1e-6)
+        assert restored.get_payload(i) == {"name": f"n{i}"}
+
+
+def test_all_pairs_similarity():
+    rng = np.random.default_rng(7)
+    embs = _unit(rng, 9)
+    sims = all_pairs_similarity(embs)
+    want = embs @ embs.T
+    np.testing.assert_allclose(sims, want, atol=1e-5)
+
+
+def test_find_duplicates_and_groups():
+    rng = np.random.default_rng(8)
+    base = _unit(rng, 3)
+    # 0 ~ 1 (near-duplicates), 2 ~ 3 ~ 4 (chain), 5 unique
+    embs = np.stack([
+        base[0], base[0] + rng.normal(scale=0.01, size=512).astype(np.float32),
+        base[1], base[1] + rng.normal(scale=0.01, size=512).astype(np.float32),
+        base[1] + rng.normal(scale=0.01, size=512).astype(np.float32),
+        base[2],
+    ])
+    embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    ids = [10, 11, 12, 13, 14, 15]
+    pairs = find_duplicate_pairs(embs, 0.95, ids)
+    pair_ids = {(a, b) for a, b, _ in pairs}
+    assert (10, 11) in pair_ids
+    assert (12, 13) in pair_ids and (12, 14) in pair_ids
+    groups = duplicate_groups(embs, 0.95, ids)
+    assert groups == [[10, 11], [12, 13, 14]]
+
+
+def test_empty_gallery_edge_cases():
+    store = GalleryStore(capacity=4)
+    assert store.search_similar(np.ones(512, np.float32), k=5) == []
+    assert all_pairs_similarity(np.zeros((0, 512), np.float32)).shape == (0, 0)
+    assert duplicate_groups(np.zeros((0, 512), np.float32), 0.9) == []

@@ -1,0 +1,98 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded gallery + frame DP."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from scrfd_arcface_facerecognition_tpu import parallel
+from scrfd_arcface_facerecognition_tpu.parallel import (
+    make_mesh, ShardedGallery, shard_frames, replicate)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert parallel.local_device_count() == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8}
+    mesh2 = make_mesh((2, 4), ("data", "model"))
+    assert mesh2.shape == {"data": 2, "model": 4}
+
+
+def test_sharded_gallery_matches_dense():
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(100, 512)).astype(np.float32)
+    q = rng.normal(size=(7, 512)).astype(np.float32)
+    mesh = make_mesh((8,), ("model",))
+    sg = ShardedGallery(g, mesh, axis="model")
+    scores, idx = sg.search(q, k=5)
+
+    gn = g / np.linalg.norm(g, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ gn.T
+    want_idx = np.argsort(-sims, axis=1)[:, :5]
+    np.testing.assert_array_equal(idx, want_idx)
+    np.testing.assert_allclose(scores, np.take_along_axis(sims, want_idx, 1),
+                               atol=1e-5)
+
+
+def test_sharded_gallery_padding_rows_never_match():
+    rng = np.random.default_rng(1)
+    g = rng.normal(size=(5, 512)).astype(np.float32)  # pads 5 -> 8
+    q = rng.normal(size=(2, 512)).astype(np.float32)
+    mesh = make_mesh((8,), ("model",))
+    sg = ShardedGallery(g, mesh, axis="model")
+    scores, idx = sg.search(q, k=5)
+    assert (idx < 5).all()
+    assert np.isfinite(scores).all()
+
+
+def test_shard_frames_and_replicate():
+    mesh = make_mesh()
+    frames = np.zeros((8, 32, 32, 3), np.uint8)
+    sharded = shard_frames(frames, mesh)
+    assert sharded.sharding.spec == P("data")
+    tree = {"w": np.ones((4, 4), np.float32)}
+    rep = replicate(tree, mesh)
+    assert rep["w"].sharding.spec == P()
+
+
+def test_dp_batch_math_partitioned():
+    """A jitted per-frame reduction over a sharded batch runs without
+    resharding and matches the unsharded result."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, size=(8, 64, 64, 3), dtype=np.uint8)
+
+    @jax.jit
+    def mean_per_frame(x):
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+
+    sharded = shard_frames(frames, mesh)
+    got = np.asarray(mean_per_frame(sharded))
+    want = frames.reshape(8, -1).mean(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_dp_fused_pipeline_on_mesh():
+    """The real fused e2e program executes over a batch-sharded input on the
+    8-device mesh (tiny model + frames to keep CPU compile fast)."""
+    from scrfd_arcface_facerecognition_tpu.pipeline import FacePipeline
+
+    pipe = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
+                        conf_thres=0.0, pre_nms=16, max_det=2,
+                        gallery_capacity=8, seed=0)
+    rng = np.random.default_rng(3)
+    g = rng.normal(size=(3, 512)).astype(np.float32)
+    pipe.set_gallery(g, ["a", "b", "c"])
+
+    frames = rng.integers(0, 255, size=(8, 96, 96, 3), dtype=np.uint8)
+    mesh = make_mesh()
+    sharded = shard_frames(jnp.asarray(frames), mesh)
+    out = pipe(sharded)
+    assert out.boxes.shape[0] == 8
+    # parity with unsharded execution
+    out_ref = pipe(jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out.embeddings),
+                               np.asarray(out_ref.embeddings), atol=1e-4)
