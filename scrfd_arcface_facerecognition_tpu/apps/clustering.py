@@ -1,0 +1,519 @@
+"""The visit-clustering engine (SmartFaceRecognition rebuilt TPU-first).
+
+Behavioral mirror of /root/reference/smart_face_recognition.py workload 2
+(SURVEY.md §3.2): ingest visit records with face-image URLs, embed each
+face, incrementally cluster into persons by nearest-neighbor search, persist
+to SQLite + clustering_results JSON.
+
+TPU-first redesign of the hot path:
+- the reference downloads + embeds inside a 4-thread pool, one ONNX
+  round-trip per image (:1953-1977). Here ingestion is two phases:
+  (1) concurrent image loading (ThreadPool, network/disk bound), then
+  (2) ONE batched detect+align+embed device program over all loaded images
+  (FaceAnalysis.get_batch groups by shape);
+- clustering decisions then run in deterministic visit order against the
+  HBM-resident GalleryStore (k-NN = matmul + top-k), removing the
+  reference's thread-order nondeterminism;
+- duplicate-person merging is the G x G dedup matmul (gallery/dedup.py)
+  instead of O(G) sequential Qdrant queries (:2726-2792).
+
+Image acquisition is injectable (`image_loader`) so the engine is testable
+offline and the zero-egress environment can feed it local files.
+"""
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..gallery import GalleryStore, duplicate_groups
+from ..utils.config import load_config
+from .face_analysis import FaceAnalysis
+from .metadata_db import MetadataDB
+from .json_storage import JSONStorageManager
+from . import quality as Q
+
+logger = logging.getLogger(__name__)
+
+
+def default_image_loader(source: str, save_path: Optional[str] = None,
+                         timeout: int = 30):
+    """Load a BGR image from a local path or http(s) URL (urllib, gated)."""
+    import cv2
+
+    if source.startswith("http"):
+        try:
+            import urllib.request
+
+            req = urllib.request.Request(source, headers={"User-Agent": "Mozilla/5.0"})
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                data = resp.read()
+            img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        except Exception as e:
+            logger.warning("download failed for %s: %s", source, e)
+            return None
+    else:
+        img = cv2.imread(source)
+    if img is not None and save_path:
+        cv2.imwrite(save_path, img)
+    return img
+
+
+class SmartFaceEngine:
+    """Config/DB/gallery/model wiring mirroring SmartFaceRecognition.__init__
+    (smart_face_recognition.py:100-151)."""
+
+    def __init__(self, database_path: Optional[str] = None,
+                 confidence_thresh: Optional[float] = None,
+                 similarity_thresh: Optional[float] = None,
+                 quality_thresh: Optional[float] = None,
+                 config_file: str = "config.json",
+                 config: Optional[Dict[str, Any]] = None,
+                 app: Optional[FaceAnalysis] = None,
+                 image_loader: Callable = default_image_loader,
+                 results_dir: str = "clustering_results"):
+        self.config = config if config is not None else load_config(config_file)
+        self.database_path = database_path or self.config["system"]["database_path"]
+        self.confidence_thresh = (confidence_thresh if confidence_thresh is not None
+                                  else self.config["face_detection"]["confidence_threshold"])
+        self.similarity_thresh = (similarity_thresh if similarity_thresh is not None
+                                  else self.config["face_recognition"]["similarity_threshold"])
+        self.quality_thresh = (quality_thresh if quality_thresh is not None
+                               else self.config["face_detection"]["quality_threshold"])
+        self.image_cache_dir = self.config["system"]["image_cache_dir"]
+        os.makedirs(self.image_cache_dir, exist_ok=True)
+
+        self.db = MetadataDB(self.database_path)
+        self.vector_db = GalleryStore(
+            vector_size=self.config["vector_database"]["vector_size"])
+        self.image_loader = image_loader
+        self.json_storage = JSONStorageManager(results_dir)
+        if app is None:
+            det_size = tuple(self.config["face_detection"]["detection_size"])
+            app = FaceAnalysis(det_variant=self.config["system"]["det_variant"],
+                               rec_variant=self.config["system"]["rec_variant"])
+            app.prepare(ctx_id=0, det_size=det_size)
+        self.app = app
+
+    # ------------------------------------------------------------ helpers
+
+    @staticmethod
+    def compute_face_hash(embedding: np.ndarray) -> str:
+        """md5 of the embedding bytes (smart_face_recognition.py:361-363)."""
+        return hashlib.md5(np.asarray(embedding).tobytes()).hexdigest()
+
+    def get_cached_image_path(self, image_url: str) -> Optional[str]:
+        url_hash = hashlib.md5(image_url.encode()).hexdigest()
+        cached = os.path.join(self.image_cache_dir, f"{url_hash}.jpg")
+        if not os.path.exists(cached):
+            img = self.image_loader(image_url, save_path=cached)
+            if img is None:
+                return None
+        return cached
+
+    # --------------------------------------------------- face extraction
+
+    def _best_face(self, faces):
+        return max(faces, key=lambda f: getattr(f, "det_score", 0.0)) if faces else None
+
+    def _gate_face(self, face, source: str) -> Optional[Dict[str, Any]]:
+        """Confidence -> side-face -> min-quality gates
+        (smart_face_recognition.py:1479-1509). Returns embedding_data."""
+        if face is None:
+            return None
+        if float(face.det_score) < self.confidence_thresh:
+            logger.info("face confidence too low in: %s", source)
+            return None
+        if Q.is_side_face(face, self.config):
+            logger.info("side face rejected in: %s", source)
+            return None
+        embedding = face.normed_embedding
+        scores = Q.assess_face_quality(face, self.config)
+        if scores["overall"] < self.config["face_detection"]["min_quality_threshold"]:
+            logger.info("face quality extremely low in: %s", source)
+            return None
+        return {
+            "embedding": np.asarray(embedding, np.float32),
+            "quality": scores,
+            "bbox": face.bbox,
+            "det_score": float(face.det_score),
+            "face_confidence": float(face.det_score),
+            "face_hash": self.compute_face_hash(embedding),
+            "image_source": source,
+        }
+
+    def extract_face_embedding(self, image_source: str, save_image: bool = False,
+                               output_dir: Optional[str] = None
+                               ) -> Optional[Dict[str, Any]]:
+        """Single-image path (API parity with :1434-1529)."""
+        save_path = None
+        if save_image and output_dir and image_source.startswith("http"):
+            filename = image_source.split("/")[-1] or f"image_{int(time.time())}.jpg"
+            if not any(filename.lower().endswith(e) for e in
+                       (".jpg", ".jpeg", ".png", ".bmp")):
+                filename += ".jpg"
+            os.makedirs(output_dir, exist_ok=True)
+            save_path = os.path.join(output_dir, filename)
+        image = self.image_loader(image_source, save_path=save_path)
+        if image is None:
+            return None
+        faces = self.app.get(image)
+        data = self._gate_face(self._best_face(faces), image_source)
+        if data is not None and save_path:
+            data["saved_image_path"] = save_path
+        return data
+
+    def extract_batch(self, sources: List[str], save_image: bool = False,
+                      output_dir: Optional[str] = None
+                      ) -> List[Optional[Dict[str, Any]]]:
+        """Batched path: concurrent load, ONE device batch per image shape."""
+        max_workers = max(1, min(self.config["image_processing"]["max_workers"],
+                                 len(sources) or 1))
+
+        def load(src):
+            save_path = None
+            if save_image and output_dir and src.startswith("http"):
+                filename = src.split("/")[-1] or "img.jpg"
+                if not any(filename.lower().endswith(e) for e in
+                           (".jpg", ".jpeg", ".png", ".bmp")):
+                    filename += ".jpg"
+                save_path = os.path.join(output_dir, filename)
+            return self.image_loader(src, save_path=save_path), save_path
+
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            loaded = list(pool.map(load, sources))
+
+        idxs = [i for i, (im, _) in enumerate(loaded) if im is not None]
+        out: List[Optional[Dict[str, Any]]] = [None] * len(sources)
+        if not idxs:
+            return out
+        face_lists = self.app.get_batch([loaded[i][0] for i in idxs])
+        for i, faces in zip(idxs, face_lists):
+            data = self._gate_face(self._best_face(faces), sources[i])
+            if data is not None and loaded[i][1]:
+                data["saved_image_path"] = loaded[i][1]
+            out[i] = data
+        return out
+
+    # ------------------------------------------------------- person CRUD
+
+    def add_person(self, name: str, image_source: str,
+                   embedding_data: Dict[str, Any]) -> int:
+        """SQLite insert + gallery upsert with rollback (:1531-1602)."""
+        if self.db.find_person_by_hash(embedding_data["face_hash"]) is not None:
+            logger.info("duplicate face hash for: %s", name)
+            return -1
+        pid = self.db.insert_person(
+            name, image_source, embedding_data["quality"]["overall"],
+            embedding_data["face_hash"], embedding_data["quality"])
+        ok = self.vector_db.add_embedding(
+            pid, embedding_data["embedding"],
+            payload={"name": name,
+                     "quality": embedding_data["quality"]["overall"],
+                     "image_path": image_source,
+                     "face_hash": embedding_data["face_hash"]})
+        if not ok:
+            self.db.delete_person(pid)
+            return -1
+        return pid
+
+    def search_person(self, query_embedding: np.ndarray, k: int = 5
+                      ) -> List[Dict[str, Any]]:
+        """k-NN with the reference's result dict shape (:1619-1643)."""
+        hits = self.vector_db.search_similar(query_embedding, k=k,
+                                             threshold=self.similarity_thresh)
+        return [{"person_id": h.id, "similarity": h.score,
+                 "name": h.payload.get("name", f"Person_{h.id}"),
+                 **{k2: v for k2, v in h.payload.items() if k2 != "name"}}
+                for h in hits]
+
+    def is_duplicate_image(self, image_url: str, embedding: np.ndarray) -> bool:
+        """URL-seen or >=dup-threshold embedding match (:2618-2652)."""
+        if self.db.image_url_seen(image_url):
+            return True
+        if self.vector_db.get_embedding_count() > 0:
+            thr = self.config["face_recognition"]["duplicate_similarity_threshold"]
+            hits = self.vector_db.search_similar(embedding, k=1, threshold=thr)
+            if hits:
+                return True
+        return False
+
+    # --------------------------------------------------------- clustering
+
+    def load_visit_data(self, json_file_path: str) -> List[Dict[str, Any]]:
+        import json as _json
+
+        with open(json_file_path, "r", encoding="utf-8") as f:
+            data = _json.load(f)
+        visits = data.get("visits", [])
+        return [v for v in visits
+                if v.get("image") and v.get("image").startswith("http")]
+
+    def _empty_results(self) -> Dict[str, int]:
+        return {"processed": 0, "recognized": 0, "new_persons": 0,
+                "no_faces": 0, "low_quality": 0, "download_failed": 0,
+                "duplicate_faces": 0, "low_similarity": 0}
+
+    def _visit_record(self, visit, visit_id, customer_id, entry_time,
+                      image_url, similarity):
+        return {
+            "visit_id": visit_id, "customer_id": customer_id,
+            "customerId": visit.get("customerId", customer_id),
+            "image_url": image_url, "image": visit.get("image", image_url),
+            "entry_time": entry_time,
+            "entryTime": visit.get("entryTime", entry_time),
+            "similarity": similarity,
+            "branchId": visit.get("branchId", ""),
+            "camera": visit.get("camera", ""),
+            "entryEventIds": visit.get("entryEventIds", []),
+            "customer": visit.get("customer", {}),
+            "results": visit.get("results", {}),
+        }
+
+    def _cluster_visits(self, visits: List[Dict[str, Any]],
+                        grouping_threshold: float,
+                        output_folder: Optional[str], save_images: bool,
+                        pre_bbox_gate: bool = False):
+        """Shared clustering loop for both entry points."""
+        results = self._empty_results()
+        batch_groups: List[Dict[str, Any]] = []
+
+        # Optional pre-download side-face gate from the visit's own bbox
+        # (process_visit_data_from_json only, :2101).
+        active: List[Dict[str, Any]] = []
+        for i, visit in enumerate(visits):
+            if pre_bbox_gate:
+                is_side, reason, _ = Q.check_side_face_from_json_bbox(
+                    visit, self.config)
+                if is_side:
+                    visit_id = visit.get("id", f"visit_{i}")
+                    self.db.store_low_similarity(
+                        str(visit_id), visit.get("customerId", f"customer_{i}"),
+                        visit.get("entryTime", ""), visit.get("image"), None,
+                        0.0, None, f"Side face (bbox): {reason}")
+                    results["low_quality"] += 1
+                    continue
+            active.append((i, visit))
+
+        images_dir = (os.path.join(output_folder, "downloaded_images")
+                      if (output_folder and save_images) else None)
+        embeddings = self.extract_batch([v.get("image") for _, v in active],
+                                        save_image=save_images,
+                                        output_dir=images_dir)
+
+        for (i, visit), embedding_data in zip(active, embeddings):
+            visit_id = str(visit.get("id", f"visit_{i}"))
+            image_url = visit.get("image")
+            customer_id = visit.get("customerId", f"customer_{i}")
+            entry_time = visit.get("entryTime", "")
+
+            if embedding_data is None:
+                self.db.store_low_similarity(
+                    visit_id, customer_id, entry_time, image_url, None, 0.0,
+                    None, "No face detected, low confidence, or side face")
+                results["no_faces"] += 1
+                continue
+
+            if self.is_duplicate_image(image_url, embedding_data["embedding"]):
+                results["duplicate_faces"] += 1
+                continue
+
+            results["processed"] += 1
+            saved_path = embedding_data.get("saved_image_path")
+
+            if self.vector_db.get_embedding_count() == 0:
+                person_name = f"Person_{customer_id}_{int(time.time())}"
+                pid = self.add_person(person_name, image_url, embedding_data)
+                if pid > 0:
+                    self.db.store_visit(pid, visit_id, customer_id, entry_time,
+                                        image_url, saved_path, 1.0)
+                    batch_groups.append({
+                        "person_id": pid, "person_name": person_name,
+                        "visits": [self._visit_record(
+                            visit, visit_id, customer_id, entry_time,
+                            image_url, 1.0)]})
+                    results["new_persons"] += 1
+                else:
+                    results["duplicate_faces"] += 1
+                continue
+
+            search_results = self.search_person(embedding_data["embedding"], k=5)
+            similarity = search_results[0]["similarity"] if search_results else 0.0
+            best = search_results[0] if search_results else None
+
+            if best and similarity >= grouping_threshold:
+                pid, person_name = best["person_id"], best["name"]
+                self.db.update_person_stats(pid)
+                self.db.store_visit(pid, visit_id, customer_id, entry_time,
+                                    image_url, saved_path, similarity)
+                batch_groups.append({
+                    "person_id": pid, "person_name": person_name,
+                    "visits": [self._visit_record(
+                        visit, visit_id, customer_id, entry_time, image_url,
+                        similarity)]})
+                if output_folder:
+                    person_folder = os.path.join(
+                        output_folder, f"{person_name}_{pid}")
+                    os.makedirs(person_folder, exist_ok=True)
+                    import json as _json
+
+                    with open(os.path.join(person_folder,
+                                           f"visit_{visit_id}.json"), "w") as f:
+                        _json.dump({
+                            "visit_id": visit_id, "customer_id": customer_id,
+                            "entry_time": entry_time, "image_url": image_url,
+                            "saved_image_path": saved_path,
+                            "similarity": similarity,
+                            "processed_at": datetime.now().isoformat()}, f,
+                            indent=2)
+                results["recognized"] += 1
+            else:
+                person_name = f"Person_{customer_id}_{int(time.time())}"
+                pid = self.add_person(person_name, image_url, embedding_data)
+                if pid > 0:
+                    self.db.store_visit(pid, visit_id, customer_id, entry_time,
+                                        image_url, saved_path, similarity)
+                    batch_groups.append({
+                        "person_id": pid, "person_name": person_name,
+                        "visits": [self._visit_record(
+                            visit, visit_id, customer_id, entry_time,
+                            image_url, similarity)]})
+                    results["new_persons"] += 1
+                else:
+                    results["duplicate_faces"] += 1
+
+        if batch_groups:
+            self.json_storage.save_clustering_results(
+                groups=batch_groups, total_processed=results["processed"],
+                results=results)
+        return results, batch_groups
+
+    def process_visit_data(self, json_file_path: str,
+                           output_folder: Optional[str] = None,
+                           max_visits: Optional[int] = None,
+                           save_images: bool = True) -> Dict[str, int]:
+        """File entry point (:1721-2005), grouping_threshold_file."""
+        if output_folder:
+            os.makedirs(output_folder, exist_ok=True)
+        visits = self.load_visit_data(json_file_path)
+        if max_visits and max_visits < len(visits):
+            visits = visits[:max_visits]
+        thr = self.config["face_recognition"]["grouping_threshold_file"]
+        results, _ = self._cluster_visits(visits, thr, output_folder,
+                                          save_images)
+        return results
+
+    def process_visit_data_from_json(self, json_data: Dict[str, Any],
+                                     output_folder: Optional[str] = None,
+                                     max_visits: Optional[int] = None,
+                                     save_images: bool = True,
+                                     clear_existing: bool = False
+                                     ) -> Dict[str, int]:
+        """In-memory entry point (:2007-2318): stricter
+        grouping_threshold_json + pre-download bbox side-face gate."""
+        if clear_existing:
+            self.clear_all_data()
+        visits = [v for v in json_data.get("visits", [])
+                  if v.get("image") and v.get("image").startswith("http")]
+        if max_visits and max_visits < len(visits):
+            visits = visits[:max_visits]
+        if output_folder:
+            os.makedirs(output_folder, exist_ok=True)
+        thr = self.config["face_recognition"]["grouping_threshold_json"]
+        results, _ = self._cluster_visits(visits, thr, output_folder,
+                                          save_images, pre_bbox_gate=True)
+        return results
+
+    # ----------------------------------------------------- dedup + merge
+
+    def merge_duplicate_persons(self, person_id1: int, person_id2: int) -> None:
+        """Repoint visits, add match counts, drop person2 (:2679-2724)."""
+        self.db.repoint_visits(person_id2, person_id1)
+        self.vector_db.delete_embedding(person_id2)
+
+    def find_and_merge_duplicates(self, similarity_threshold: Optional[float]
+                                  = None) -> int:
+        """ONE G x G cosine matmul + union-find, replacing the per-person
+        Qdrant loop (:2726-2797). Groups merge into their lowest id."""
+        if similarity_threshold is None:
+            similarity_threshold = \
+                self.config["face_recognition"]["merge_duplicate_threshold"]
+        mat, ids = self.vector_db.dense_matrix()
+        if len(ids) < 2:
+            return 0
+        merged = 0
+        for group in duplicate_groups(mat, similarity_threshold, ids):
+            keep = group[0]
+            for other in group[1:]:
+                self.merge_duplicate_persons(keep, other)
+                merged += 1
+        return merged
+
+    # ------------------------------------------------------- stats / web
+
+    def get_database_stats(self) -> Dict[str, Any]:
+        s = self.db.stats()
+        return {"total_persons": s["total_persons"],
+                "average_quality": s["average_quality"],
+                "recent_activity": s["recent_activity"],
+                "embeddings_loaded": self.vector_db.get_embedding_count()}
+
+    def get_web_stats(self) -> Dict[str, Any]:
+        s = self.db.stats()
+        return {"total_persons": s["total_persons"],
+                "total_visits": s["total_visits"],
+                "total_images": s["total_images"],
+                "low_similarity_count": s["low_similarity_count"],
+                "recent_activity": s["recent_activity"]}
+
+    def get_person_groups_for_web(self) -> List[Dict[str, Any]]:
+        return self.db.person_groups()
+
+    def get_low_similarity_images(self) -> List[Dict[str, Any]]:
+        rows = self.db.low_similarity_rows()
+        out = []
+        for r in rows:
+            display = r["saved_image_path"] or r["image_url"]
+            sim = r["similarity"]
+            out.append({"visit_id": r["visit_id"],
+                        "customer_id": r["customer_id"],
+                        "entry_time": r["entry_time"],
+                        "image_url": r["image_url"], "image_path": display,
+                        "similarity": max(0, min(100, sim * 100)) if sim else 0,
+                        "best_match_name": r["best_match_name"],
+                        "reason": r["reason"] or "Low similarity",
+                        "processed_at": r["processed_at"]})
+        return out
+
+    def clear_all_data(self) -> None:
+        self.db.clear_all()
+        self.vector_db.clear_all()
+
+    # -------------------------------------------------------- comparison
+
+    def compare_face_images(self, image1, image2) -> Dict[str, Any]:
+        """Pairwise verification (:878-1144 condensed semantics): best-face
+        embeddings, cosine, threshold from face_comparison config."""
+        img1 = self.image_loader(image1) if isinstance(image1, str) else image1
+        img2 = self.image_loader(image2) if isinstance(image2, str) else image2
+        if img1 is None or img2 is None:
+            return {"success": False, "error": "Could not load images"}
+        faces = self.app.get_batch([np.asarray(img1), np.asarray(img2)])
+        f1, f2 = self._best_face(faces[0]), self._best_face(faces[1])
+        if f1 is None or f2 is None:
+            return {"success": False, "error": "No face detected"}
+        e1, e2 = f1.normed_embedding, f2.normed_embedding
+        sim = float(np.dot(e1, e2))
+        thr = self.config["face_comparison"]["similarity_threshold"]
+        return {"success": True, "similarity": sim,
+                "same_person": sim > thr, "threshold": thr,
+                "face1_confidence": f1.det_score,
+                "face2_confidence": f2.det_score}

@@ -1,0 +1,96 @@
+"""FaceAnalysis-shaped facade over the TPU stack.
+
+The reference's clustering/verification engines consume insightface's
+FaceAnalysis('buffalo_l') (smart_face_recognition.py:353-359, 912-913,
+1473-1496): app.get(image) -> [Face{bbox, kps, det_score, embedding,
+normed_embedding}]. This module provides the same surface backed by the
+fused TPU pipeline, so every higher layer is stack-agnostic (SURVEY.md
+§2.2). Images of repeated shapes reuse one compiled program; .get_batch
+embeds a whole image batch in one device call.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..pipeline import Detector, Embedder
+from ..pipeline.embedder import embed_faces
+
+
+@dataclasses.dataclass
+class Face:
+    bbox: np.ndarray            # (4,) x1y1x2y2
+    kps: np.ndarray             # (5, 2)
+    det_score: float
+    embedding: np.ndarray       # (512,) raw
+    normed_embedding: np.ndarray  # (512,) L2-normalized
+
+    @property
+    def sex(self):  # genderage models intentionally unsupported (unused
+        return None  # by the reference pipelines, SURVEY.md §0)
+
+
+class FaceAnalysis:
+    """Drop-in facade: FaceAnalysis(name=...) / prepare / get."""
+
+    def __init__(self, name: str = "buffalo_l",
+                 det_variant: str = "det_10g", rec_variant: str = "w600k_r50",
+                 det_variables: Any = None, rec_variables: Any = None,
+                 dtype: Any = jnp.float32, seed: int = 0):
+        self.name = name
+        self.detector = Detector(det_variant, variables=det_variables,
+                                 dtype=dtype, seed=seed)
+        self.embedder = Embedder(rec_variant, variables=rec_variables,
+                                 dtype=dtype, seed=seed)
+        self.det_thresh = 0.5
+
+    def prepare(self, ctx_id: int = 0, det_size: Tuple[int, int] = (640, 640),
+                det_thresh: float = 0.5) -> None:
+        """API mirror of insightface prepare(); ctx_id is accepted for
+        compatibility (device placement is JAX's job)."""
+        self.detector.input_size = (det_size[1], det_size[0])
+        self.detector.conf_thres = det_thresh
+        self.det_thresh = det_thresh
+        self.detector._jitted.clear()
+
+    def get(self, image, max_num: int = 0) -> List[Face]:
+        """Detect + align + embed every face in one BGR image."""
+        return self.get_batch([np.asarray(image)], max_num=max_num)[0]
+
+    def get_batch(self, images, max_num: int = 0) -> List[List[Face]]:
+        """Batch version: images of identical shape run as ONE device batch
+        (detect + embed fused); mixed shapes fall back to per-shape groups.
+        """
+        images = [np.asarray(im) for im in images]
+        out: List[Optional[List[Face]]] = [None] * len(images)
+        by_shape = {}
+        for i, im in enumerate(images):
+            by_shape.setdefault(im.shape, []).append(i)
+        for shape, idxs in by_shape.items():
+            batch = np.stack([images[i] for i in idxs])
+            dets = self.detector.detect_batched(jnp.asarray(batch),
+                                                max_num=max_num)
+            embs = embed_faces(self.embedder.model.apply,
+                               self.embedder.variables,
+                               jnp.asarray(batch), dets.kps, dets.valid,
+                               l2=False)
+            boxes = np.asarray(dets.boxes)
+            scores = np.asarray(dets.scores)
+            kps = np.asarray(dets.kps)
+            valid = np.asarray(dets.valid)
+            embs = np.asarray(embs)
+            for bi, i in enumerate(idxs):
+                faces = []
+                for k in range(boxes.shape[1]):
+                    if not valid[bi, k]:
+                        continue
+                    raw = embs[bi, k]
+                    norm = raw / max(float(np.linalg.norm(raw)), 1e-12)
+                    faces.append(Face(bbox=boxes[bi, k], kps=kps[bi, k],
+                                      det_score=float(scores[bi, k]),
+                                      embedding=raw, normed_embedding=norm))
+                out[i] = faces
+        return out  # type: ignore[return-value]

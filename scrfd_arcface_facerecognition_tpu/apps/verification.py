@@ -1,0 +1,177 @@
+"""Pairwise face verification vs external-API verdicts.
+
+Behavioral mirror of /root/reference/compare_face_from_api.py: fetch
+(image, refImage) record pairs, embed both faces, compare cosine similarity
+against the face_comparison threshold (0.2, config.json:28), and report
+agreement with the API's own isConverted verdict (:401-521).
+
+TPU-first: all 2N images in a batch embed through ONE device program
+(FaceAnalysis.get_batch) instead of one ONNX round-trip per image.
+Note the reference feeds RGB into FaceAnalysis here (:145, unlike the
+clustering engine which feeds BGR) — preserved for behavioral parity.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from ..utils.config import load_config, load_api_config
+from .face_analysis import FaceAnalysis
+from .clustering import default_image_loader
+
+logger = logging.getLogger(__name__)
+
+
+class FaceComparison:
+    def __init__(self, config_file: str = "config.json",
+                 config: Optional[Dict[str, Any]] = None,
+                 app: Optional[FaceAnalysis] = None,
+                 image_loader: Callable = default_image_loader):
+        self.config = config if config is not None else load_config(config_file)
+        self.similarity_threshold = \
+            self.config["face_comparison"]["similarity_threshold"]
+        self.image_loader = image_loader
+        if app is None:
+            app = FaceAnalysis(det_variant=self.config["system"]["det_variant"],
+                               rec_variant=self.config["system"]["rec_variant"])
+            app.prepare(ctx_id=0, det_size=tuple(
+                self.config["face_detection"]["detection_size"]))
+        self.app = app
+
+    @staticmethod
+    def calculate_face_similarity(e1: np.ndarray, e2: np.ndarray) -> float:
+        denom = np.linalg.norm(e1) * np.linalg.norm(e2)
+        return float(np.dot(e1, e2) / denom) if denom else 0.0
+
+    def _to_rgb(self, image: np.ndarray) -> np.ndarray:
+        if image.ndim == 3 and image.shape[2] == 3:
+            return cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        return image
+
+    def compare_face_images(self, image1_url: str, image2_url: str) -> Dict:
+        img1 = self.image_loader(image1_url)
+        img2 = self.image_loader(image2_url)
+        base = {"image1_url": image1_url, "image2_url": image2_url}
+        if img1 is None or img2 is None:
+            return {**base, "same_person": False, "confidence": 0.0,
+                    "error": "Could not download one or both images"}
+        faces = self.app.get_batch([self._to_rgb(img1), self._to_rgb(img2)])
+        if not faces[0] or not faces[1]:
+            return {**base, "same_person": False, "confidence": 0.0,
+                    "error": "Could not detect faces in one or both images"}
+        sim = self.calculate_face_similarity(faces[0][0].embedding,
+                                             faces[1][0].embedding)
+        return {**base, "same_person": sim > self.similarity_threshold,
+                "confidence": float(sim),
+                "threshold_used": self.similarity_threshold, "error": None}
+
+    def fetch_face_comparison_data_from_api(self, api_url: str,
+                                            api_key: Optional[str] = None,
+                                            **params) -> List[Dict]:
+        """Fetch + transform visit records (:247-399). Uses urllib; returns
+        [] on any network failure (zero-egress environments)."""
+        import json as _json
+        import urllib.parse
+        import urllib.request
+
+        try:
+            query = urllib.parse.urlencode(
+                {k: v for k, v in params.items() if v is not None})
+            url = api_url + ("?" + query if query else "")
+            headers = {"User-Agent": "Mozilla/5.0"}
+            if api_key:
+                headers["Authorization"] = f"Bearer {api_key}"
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                data = _json.loads(resp.read())
+        except Exception as e:
+            logger.error("API request failed: %s", e)
+            return []
+        raw = data if isinstance(data, list) else data.get(
+            "visits", data.get("data", []))
+        return self.transform_records(raw)
+
+    @staticmethod
+    def transform_records(raw_visits: List[Dict]) -> List[Dict]:
+        """API visit -> comparison-record mapping (:342-385)."""
+        records = []
+        for visit in raw_visits:
+            image1 = visit.get("image")
+            image2 = visit.get("refImage")
+            if not image1 or not image2:
+                continue
+            events = visit.get("entryEventIds") or []
+            event = events[0] if events else None
+            records.append({
+                "comparison_id": visit.get("id", f"comparison_{len(records)}"),
+                "event_id": event.get("eventId") if event else None,
+                "approve": visit.get("isConverted", False),
+                "image1_url": image1, "image2_url": image2,
+                "branch_id": visit.get("branchId"),
+                "created_at": visit.get("entryTime"),
+                "customer_info": [visit["customerId"]] if visit.get("customerId") else [],
+                "matched_info": [visit["refImage"]] if visit.get("refImage") else [],
+                "message": f"Visit comparison for customer "
+                           f"{visit.get('customerId', 'unknown')}",
+                "is_first_visit": visit.get("isFirstVisit", False),
+                "is_vip": visit.get("isVip", False),
+                "is_blacklisted": visit.get("isBlackListed", False),
+                "fileName": event.get("fileName", "") if event else "",
+                "event": event.get("event", "") if event else "",
+                "camera": event.get("camera", "") if event else "",
+                "raw_data": visit,
+            })
+        return records
+
+    def process_face_comparisons(self, comparison_records: List[Dict],
+                                 max_comparisons: Optional[int] = None) -> Dict:
+        """Sequential comparison loop + accuracy-vs-API summary (:401-521)."""
+        if not comparison_records:
+            return {"total_comparisons": 0, "processed": 0, "same_person": 0,
+                    "different_person": 0, "errors": 0, "results": []}
+        if max_comparisons and len(comparison_records) > max_comparisons:
+            comparison_records = comparison_records[:max_comparisons]
+
+        results, same_n, diff_n, err_n = [], 0, 0, 0
+        for record in comparison_records:
+            cmp = self.compare_face_images(record["image1_url"],
+                                           record["image2_url"])
+            results.append({
+                "comparison_id": record["comparison_id"],
+                "event_id": record["event_id"],
+                "branch_id": record["branch_id"],
+                "created_at": record["created_at"],
+                "customer_info": record["customer_info"],
+                "matched_info": record["matched_info"],
+                "api_approve": record["approve"],
+                "our_result": cmp.get("same_person", False),
+                "confidence": cmp.get("confidence", 0.0),
+                "threshold_used": cmp.get("threshold_used",
+                                          self.similarity_threshold),
+                "image1_url": cmp.get("image1_url", ""),
+                "image2_url": cmp.get("image2_url", ""),
+                "error": cmp.get("error"),
+                "match_status": "SAME" if cmp.get("same_person") else "DIFFERENT",
+                "api_vs_our_match": record["approve"] == cmp.get("same_person",
+                                                                 False),
+                "raw_data": record.get("raw_data", {}),
+            })
+            if cmp.get("error"):
+                err_n += 1
+            elif cmp.get("same_person"):
+                same_n += 1
+            else:
+                diff_n += 1
+
+        api_matches = sum(1 for r in results if r.get("api_vs_our_match") is True)
+        with_api = sum(1 for r in results
+                       if r.get("api_vs_our_match") is not None)
+        accuracy = (api_matches / with_api * 100) if with_api else 0
+        return {"total_comparisons": len(comparison_records),
+                "processed": len(results), "same_person": same_n,
+                "different_person": diff_n, "errors": err_n,
+                "accuracy_vs_api": accuracy, "api_matches": api_matches,
+                "total_with_api_data": with_api, "results": results}

@@ -1,0 +1,152 @@
+"""ArcFace margin-softmax training step, DP x TP sharded.
+
+Loss follows the ArcFace paper (additive angular margin m on the target
+class angle, scale s): logits_y = s*cos(theta_y + m) with the standard
+stability fallback s*(cos(theta_y) - m*sin(m)) when theta_y + m > pi.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import l2_normalize
+
+
+def arcface_margin_logits(embeddings: jnp.ndarray, w: jnp.ndarray,
+                          labels: jnp.ndarray, s: float = 64.0,
+                          m: float = 0.5) -> jnp.ndarray:
+    """(B, D) embeddings x (D, C) class matrix -> (B, C) margin logits."""
+    emb_n = l2_normalize(embeddings.astype(jnp.float32))
+    w_n = l2_normalize(w.astype(jnp.float32), axis=0)
+    cos = jnp.clip(
+        jnp.dot(emb_n, w_n, preferred_element_type=jnp.float32), -1.0, 1.0)
+    sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
+    cos_m, sin_m = float(np.cos(m)), float(np.sin(m))
+    phi = cos * cos_m - sin * sin_m                     # cos(theta + m)
+    # fallback branch for theta + m > pi
+    phi = jnp.where(cos > float(np.cos(np.pi - m)), phi, cos - m * sin_m)
+    onehot = jax.nn.one_hot(labels, w.shape[1], dtype=cos.dtype)
+    return s * jnp.where(onehot > 0, phi, cos)
+
+
+def softmax_xent(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+
+
+class TrainState(NamedTuple):
+    backbone: Any          # {'params': ..., 'batch_stats': ...}
+    head_w: jnp.ndarray    # (D, C), sharded P(None, 'model')
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class ArcFaceTrainer:
+    """Sharded trainer for an ArcFace embedder.
+
+    mesh axes: ('data', 'model'). Batch shards over 'data'; the class
+    matrix over 'model'; backbone params replicate.
+    """
+    model: Any                      # flax embedder module (train=True capable)
+    num_classes: int
+    mesh: Mesh
+    margin: float = 0.5
+    scale: float = 64.0
+    learning_rate: float = 0.02
+    weight_decay: float = 5e-4
+    emb_dim: int = 512
+
+    def __post_init__(self):
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(5.0),
+            optax.sgd(self.learning_rate, momentum=0.9),
+        )
+        self._jit_step = None
+
+    # ------------------------------------------------------------- setup
+
+    def init_state(self, rng: jax.Array,
+                   input_hw: Tuple[int, int] = (112, 112)) -> TrainState:
+        r1, r2 = jax.random.split(rng)
+        variables = self.model.init(r1, jnp.zeros((1, *input_hw, 3)), train=False)
+        head_w = jax.random.normal(r2, (self.emb_dim, self.num_classes),
+                                   jnp.float32) * 0.01
+        params = {"backbone": variables["params"], "head_w": head_w}
+        opt_state = self.optimizer.init(params)
+        state = TrainState(
+            backbone={"params": variables["params"],
+                      "batch_stats": variables.get("batch_stats", {})},
+            head_w=head_w, opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32))
+        return self.shard_state(state)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Apply the DP x TP placement: W class-sharded, rest replicated."""
+        rep = NamedSharding(self.mesh, P())
+        wsh = NamedSharding(self.mesh, P(None, "model"))
+
+        def put_w(x):
+            return jax.device_put(x, wsh) if (
+                hasattr(x, "shape") and x.shape == (self.emb_dim, self.num_classes)
+            ) else jax.device_put(x, rep)
+
+        return TrainState(
+            backbone=jax.tree.map(lambda x: jax.device_put(x, rep), state.backbone),
+            head_w=jax.device_put(state.head_w, wsh),
+            opt_state=jax.tree.map(put_w, state.opt_state),
+            step=jax.device_put(state.step, rep),
+        )
+
+    # -------------------------------------------------------------- step
+
+    def _loss_fn(self, params, batch_stats, images, labels):
+        variables = {"params": params["backbone"]}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            emb, mutated = self.model.apply(
+                variables, images, train=True, mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            emb = self.model.apply(variables, images, train=True)
+            new_stats = batch_stats
+        emb = jax.lax.with_sharding_constraint(
+            emb, NamedSharding(self.mesh, P("data", None)))
+        logits = arcface_margin_logits(emb, params["head_w"], labels,
+                                       self.scale, self.margin)
+        logits = jax.lax.with_sharding_constraint(
+            logits, NamedSharding(self.mesh, P("data", "model")))
+        loss = jnp.mean(softmax_xent(logits, labels))
+        return loss, new_stats
+
+    def _step(self, state: TrainState, images, labels):
+        params = {"backbone": state.backbone["params"], "head_w": state.head_w}
+        (loss, new_stats), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(
+                params, state.backbone.get("batch_stats", {}), images, labels)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_state = TrainState(
+            backbone={"params": params["backbone"], "batch_stats": new_stats},
+            head_w=params["head_w"], opt_state=opt_state,
+            step=state.step + 1)
+        return new_state, loss
+
+    def train_step(self, state: TrainState, images: jnp.ndarray,
+                   labels: jnp.ndarray) -> Tuple[TrainState, jnp.ndarray]:
+        """One sharded update. images (B, H, W, 3) f32 normalized;
+        labels (B,) int32. B must divide the 'data' axis size."""
+        if self._jit_step is None:
+            data_sh = NamedSharding(self.mesh, P("data"))
+            self._jit_step = jax.jit(
+                self._step,
+                in_shardings=(None,
+                              NamedSharding(self.mesh, P("data", None, None, None)),
+                              data_sh))
+        return self._jit_step(state, images, labels)

@@ -1,0 +1,198 @@
+"""Clustering engine behavior vs the reference's visit-processing semantics."""
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scrfd_arcface_facerecognition_tpu.apps.clustering import SmartFaceEngine
+from scrfd_arcface_facerecognition_tpu.utils.config import DEFAULT_CONFIG, deep_update
+from fake_stack import FakeFaceAnalysis, FakeImageStore, visit
+
+
+@pytest.fixture
+def engine(tmp_path):
+    store = FakeImageStore()
+    cfg = deep_update(DEFAULT_CONFIG, {
+        "system": {"database_path": str(tmp_path / "face.db"),
+                   "image_cache_dir": str(tmp_path / "cache")}})
+    eng = SmartFaceEngine(config=cfg, app=FakeFaceAnalysis(),
+                          image_loader=store.loader,
+                          results_dir=str(tmp_path / "results"))
+    eng._store = store
+    eng._tmp = tmp_path
+    return eng
+
+
+def _urls(engine, spec):
+    """spec: list of (url, identity, jitter)."""
+    return [engine._store.add(u, i, j) for (u, i, j) in spec]
+
+
+def test_same_person_groups_different_creates(engine):
+    _urls(engine, [("http://x/a1.jpg", 1, 0), ("http://x/a2.jpg", 1, 1),
+                   ("http://x/b1.jpg", 2, 0)])
+    visits = [visit(0, "http://x/a1.jpg"), visit(1, "http://x/a2.jpg"),
+              visit(2, "http://x/b1.jpg")]
+    data = {"visits": visits}
+    p = engine._tmp / "visits.json"
+    p.write_text(json.dumps(data))
+    results = engine.process_visit_data(str(p), save_images=False)
+    assert results["new_persons"] == 2        # identities 1 and 2
+    assert results["recognized"] == 1         # a2 joins a1's person
+    assert results["processed"] == 3
+    assert engine.vector_db.get_embedding_count() == 2
+    assert engine.get_web_stats()["total_persons"] == 2
+
+
+def test_non_http_visits_filtered(engine):
+    p = engine._tmp / "v.json"
+    p.write_text(json.dumps({"visits": [
+        {"id": 1, "image": "/local/path.jpg"},
+        {"id": 2, "image": None}, {"id": 3}]}))
+    results = engine.process_visit_data(str(p))
+    assert results["processed"] == 0
+
+
+def test_duplicate_url_skipped(engine):
+    _urls(engine, [("http://x/a.jpg", 1, 0)])
+    visits = [visit(0, "http://x/a.jpg"), visit(1, "http://x/a.jpg")]
+    p = engine._tmp / "v.json"
+    p.write_text(json.dumps({"visits": visits}))
+    results = engine.process_visit_data(str(p), save_images=False)
+    assert results["duplicate_faces"] == 1
+    assert results["processed"] == 1
+
+
+def test_near_duplicate_embedding_skipped(engine):
+    # jitter=0 twice with different URLs -> identical embedding -> >=0.95 dup
+    _urls(engine, [("http://x/a.jpg", 1, 0), ("http://x/acopy.jpg", 1, 0)])
+    visits = [visit(0, "http://x/a.jpg"), visit(1, "http://x/acopy.jpg")]
+    p = engine._tmp / "v.json"
+    p.write_text(json.dumps({"visits": visits}))
+    results = engine.process_visit_data(str(p), save_images=False)
+    assert results["duplicate_faces"] == 1
+
+
+def test_no_face_goes_to_low_similarity(engine):
+    engine.app.no_face_identities = {7}
+    _urls(engine, [("http://x/n.jpg", 7, 0)])
+    p = engine._tmp / "v.json"
+    p.write_text(json.dumps({"visits": [visit(0, "http://x/n.jpg")]}))
+    results = engine.process_visit_data(str(p), save_images=False)
+    assert results["no_faces"] == 1
+    rows = engine.get_low_similarity_images()
+    assert len(rows) == 1
+    assert "No face detected" in rows[0]["reason"]
+
+
+def test_clustering_results_json_schema(engine):
+    _urls(engine, [("http://x/a1.jpg", 1, 0), ("http://x/a2.jpg", 1, 1)])
+    visits = [visit(0, "http://x/a1.jpg", box={"width": 90, "height": 120,
+                                               "top": 100, "left": 100}),
+              visit(1, "http://x/a2.jpg")]
+    p = engine._tmp / "v.json"
+    p.write_text(json.dumps({"visits": visits}))
+    engine.process_visit_data(str(p), save_images=False)
+    files = glob.glob(str(engine._tmp / "results" / "clustering_results_*.json"))
+    assert len(files) == 1
+    payload = json.loads(open(files[0]).read())
+    for key in ("job_id", "status", "timestamp", "total_processed",
+                "total_groups", "results", "message", "groups"):
+        assert key in payload, key
+    assert payload["status"] == "finished"
+    g = payload["groups"][0]
+    for key in ("group_id", "person_id", "person_name", "timestamp",
+                "group_score", "camera", "event", "branchId", "fileName",
+                "age", "gender", "visit_count", "visits"):
+        assert key in g, key
+    v = g["visits"][0]
+    assert set(v) == {"visit_id", "customer_id", "image_url", "entry_time",
+                      "similarity"}
+
+
+def test_json_entry_point_bbox_side_gate(engine):
+    _urls(engine, [("http://x/side.jpg", 1, 0), ("http://x/ok.jpg", 2, 0)])
+    side_box = {"width": 15, "height": 100, "top": 300, "left": 300}
+    ok_box = {"width": 90, "height": 120, "top": 300, "left": 300}
+    data = {"visits": [visit(0, "http://x/side.jpg", box=side_box),
+                       visit(1, "http://x/ok.jpg", box=ok_box)]}
+    results = engine.process_visit_data_from_json(data, save_images=False)
+    assert results["low_quality"] == 1        # rejected before download
+    assert results["processed"] == 1
+
+
+def test_low_confidence_rejected(engine):
+    engine.app.det_score = 0.3  # below confidence_threshold 0.6
+    _urls(engine, [("http://x/a.jpg", 1, 0)])
+    p = engine._tmp / "v.json"
+    p.write_text(json.dumps({"visits": [visit(0, "http://x/a.jpg")]}))
+    results = engine.process_visit_data(str(p), save_images=False)
+    assert results["no_faces"] == 1
+
+
+def test_find_and_merge_duplicates(engine):
+    # two persons created above merge threshold 0.8: force via add_person
+    e1 = {"embedding": np.ones(512, np.float32) / np.sqrt(512),
+          "quality": {"overall": .8, "blur": .8, "pose": .8, "lighting": .8},
+          "face_hash": "h1", "bbox": [0, 0, 1, 1], "det_score": .9,
+          "face_confidence": .9, "image_source": "u1"}
+    e2 = dict(e1, face_hash="h2", image_source="u2")
+    e3 = dict(e1, face_hash="h3", image_source="u3",
+              embedding=np.concatenate([np.ones(256), -np.ones(256)])
+              .astype(np.float32) / np.sqrt(512))
+    p1 = engine.add_person("a", "u1", e1)
+    p2 = engine.add_person("b", "u2", e2)
+    p3 = engine.add_person("c", "u3", e3)
+    engine.db.store_visit(p2, "v1", "c", "t", "u", None, 0.9)
+    merged = engine.find_and_merge_duplicates()
+    assert merged == 1
+    assert engine.db.get_person(p2) is None
+    assert engine.db.get_person(p1) is not None
+    assert engine.db.get_person(p3) is not None
+    assert engine.vector_db.get_embedding_count() == 2
+    # visits repointed
+    assert engine.db.visits_for_person(p1)[0]["visit_id"] == "v1"
+
+
+def test_add_person_hash_dedup_and_rollback(engine):
+    e1 = {"embedding": np.ones(512, np.float32),
+          "quality": {"overall": .8, "blur": .8, "pose": .8, "lighting": .8},
+          "face_hash": "same", "bbox": [0, 0, 1, 1], "det_score": .9,
+          "face_confidence": .9, "image_source": "u1"}
+    assert engine.add_person("a", "u1", e1) > 0
+    assert engine.add_person("b", "u2", dict(e1)) == -1  # duplicate hash
+
+
+def test_clear_all_data(engine):
+    _urls(engine, [("http://x/a.jpg", 1, 0)])
+    p = engine._tmp / "v.json"
+    p.write_text(json.dumps({"visits": [visit(0, "http://x/a.jpg")]}))
+    engine.process_visit_data(str(p), save_images=False)
+    engine.clear_all_data()
+    assert engine.get_web_stats()["total_persons"] == 0
+    assert engine.vector_db.get_embedding_count() == 0
+
+
+def test_process_from_json_clear_existing(engine):
+    _urls(engine, [("http://x/a.jpg", 1, 0), ("http://x/b.jpg", 2, 0)])
+    ok_box = {"width": 90, "height": 120, "top": 300, "left": 300}
+    engine.process_visit_data_from_json(
+        {"visits": [visit(0, "http://x/a.jpg", box=ok_box)]}, save_images=False)
+    assert engine.get_web_stats()["total_persons"] == 1
+    engine.process_visit_data_from_json(
+        {"visits": [visit(1, "http://x/b.jpg", box=ok_box)]},
+        save_images=False, clear_existing=True)
+    assert engine.get_web_stats()["total_persons"] == 1  # cleared then 1 new
+
+
+def test_reference_visit_cluster_json_parses(engine):
+    """The committed 149-visit input sample must load through our filter."""
+    visits = engine.load_visit_data("/root/reference/visit-cluster.json")
+    assert len(visits) > 100
+    assert all(v["image"].startswith("http") for v in visits)
+    # pre-bbox side gate runs over real records without crashing
+    from scrfd_arcface_facerecognition_tpu.apps import quality as Q
+    for v in visits[:20]:
+        Q.check_side_face_from_json_bbox(v, engine.config)

@@ -1,0 +1,96 @@
+"""Verification engine: record transform, comparison loop, accuracy-vs-API."""
+import numpy as np
+
+from scrfd_arcface_facerecognition_tpu.apps.verification import FaceComparison
+from scrfd_arcface_facerecognition_tpu.utils.config import DEFAULT_CONFIG
+from fake_stack import FakeFaceAnalysis, FakeImageStore
+
+
+def _fc():
+    store = FakeImageStore()
+    fc = FaceComparison(config=DEFAULT_CONFIG, app=FakeFaceAnalysis(),
+                        image_loader=store.loader)
+    return fc, store
+
+
+def test_compare_same_and_different():
+    fc, store = _fc()
+    store.add("http://x/a1.jpg", 1, 0)
+    store.add("http://x/a2.jpg", 1, 1)
+    store.add("http://x/b.jpg", 2, 0)
+    same = fc.compare_face_images("http://x/a1.jpg", "http://x/a2.jpg")
+    assert same["same_person"] and same["confidence"] > 0.2
+    assert same["error"] is None
+    diff = fc.compare_face_images("http://x/a1.jpg", "http://x/b.jpg")
+    assert not diff["same_person"]
+
+
+def test_compare_download_failure():
+    fc, _ = _fc()
+    out = fc.compare_face_images("http://x/missing.jpg", "http://x/m2.jpg")
+    assert not out["same_person"] and out["error"]
+
+
+def test_compare_no_face():
+    fc, store = _fc()
+    fc.app.no_face_identities = {9}
+    store.add("http://x/n.jpg", 9, 0)
+    store.add("http://x/a.jpg", 1, 0)
+    out = fc.compare_face_images("http://x/n.jpg", "http://x/a.jpg")
+    assert "detect faces" in out["error"]
+
+
+def test_transform_records():
+    raw = [
+        {"id": "v1", "image": "http://i1", "refImage": "http://r1",
+         "isConverted": True, "branchId": "b1", "entryTime": "t1",
+         "customerId": "c1",
+         "entryEventIds": [{"eventId": "e1", "fileName": "f1.jpg",
+                            "event": "entry", "camera": "cam1"}]},
+        {"id": "v2", "image": "http://i2"},                   # no refImage
+        {"id": "v3", "image": "http://i3", "refImage": "http://r3"},
+    ]
+    records = FaceComparison.transform_records(raw)
+    assert len(records) == 2
+    r = records[0]
+    assert r["comparison_id"] == "v1" and r["approve"] is True
+    assert r["event_id"] == "e1" and r["fileName"] == "f1.jpg"
+    assert r["camera"] == "cam1" and r["customer_info"] == ["c1"]
+    assert records[1]["approve"] is False
+
+
+def test_process_face_comparisons_accuracy():
+    fc, store = _fc()
+    store.add("http://x/a1.jpg", 1, 0)
+    store.add("http://x/a2.jpg", 1, 1)
+    store.add("http://x/b.jpg", 2, 0)
+    records = FaceComparison.transform_records([
+        {"id": "r1", "image": "http://x/a1.jpg", "refImage": "http://x/a2.jpg",
+         "isConverted": True},    # same person, API agrees
+        {"id": "r2", "image": "http://x/a1.jpg", "refImage": "http://x/b.jpg",
+         "isConverted": True},    # different, API says same -> mismatch
+    ])
+    out = fc.process_face_comparisons(records)
+    assert out["processed"] == 2
+    assert out["same_person"] == 1
+    assert out["different_person"] == 1
+    assert out["api_matches"] == 1
+    assert abs(out["accuracy_vs_api"] - 50.0) < 1e-9
+    statuses = [r["match_status"] for r in out["results"]]
+    assert statuses == ["SAME", "DIFFERENT"]
+
+
+def test_max_comparisons_limit():
+    fc, store = _fc()
+    store.add("http://x/a.jpg", 1, 0)
+    records = FaceComparison.transform_records([
+        {"id": f"r{i}", "image": "http://x/a.jpg",
+         "refImage": "http://x/a.jpg"} for i in range(5)])
+    out = fc.process_face_comparisons(records, max_comparisons=2)
+    assert out["processed"] == 2
+
+
+def test_empty_records():
+    fc, _ = _fc()
+    out = fc.process_face_comparisons([])
+    assert out["total_comparisons"] == 0 and out["results"] == []
