@@ -11,7 +11,7 @@ from .resize import resize_bilinear, letterbox, letterbox_plan, LetterboxPlan
 from .similarity import l2_normalize, compute_similarity, cosine_matrix, top_k_matches
 from .umeyama import umeyama_similarity, estimate_norm, ARCFACE_DST
 from .warp import warp_affine, invert_affine, norm_crop
-from .nms import nms_mask, select_top_faces
+from .nms import nms_mask, nms_mask_blocked, select_top_faces
 
 __all__ = [
     "anchor_centers", "scrfd_anchor_table",
@@ -21,5 +21,5 @@ __all__ = [
     "l2_normalize", "compute_similarity", "cosine_matrix", "top_k_matches",
     "umeyama_similarity", "estimate_norm", "ARCFACE_DST",
     "warp_affine", "invert_affine", "norm_crop",
-    "nms_mask", "select_top_faces",
+    "nms_mask", "nms_mask_blocked", "select_top_faces",
 ]

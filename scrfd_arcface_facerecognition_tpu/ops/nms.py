@@ -51,6 +51,55 @@ def nms_mask(boxes: jnp.ndarray, iou_thres: float,
     return jax.lax.fori_loop(0, k, body, valid)
 
 
+def nms_mask_blocked(boxes: jnp.ndarray, iou_thres: float,
+                     valid: Optional[jnp.ndarray] = None,
+                     block: int = 32) -> jnp.ndarray:
+    """Exact greedy NMS with O(K/block) sequential steps (TPU-fast).
+
+    Identical results to nms_mask (property-tested), but the sequential
+    dependency chain is per-block instead of per-box: within a block the
+    triangular suppression is unrolled (block is small and static), and each
+    surviving block suppresses all later candidates with one vectorized
+    masked-any. A 256-candidate slate runs 8 sequential steps instead of
+    256 While iterations — While overhead dominated the detect stage
+    (~25 ms of the 35 ms/batch) before this.
+    """
+    k = boxes.shape[0]
+    block = min(block, k)
+    if k % block != 0:
+        raise ValueError(f"pre-NMS count {k} must be a multiple of {block}")
+    iou = iou_matrix_legacy(boxes)
+    if valid is None:
+        valid = jnp.ones((k,), dtype=bool)
+
+    n_blocks = k // block
+    idx_in_block = jnp.arange(block)
+    # triangular (strict upper) suppression pattern within a block
+    tri = idx_in_block[:, None] < idx_in_block[None, :]
+
+    def body(carry, b):
+        keep = carry
+        start = b * block
+        blk_keep = jax.lax.dynamic_slice(keep, (start,), (block,))
+        blk_iou = jax.lax.dynamic_slice(iou, (start, start), (block, block))
+        sup = (blk_iou > iou_thres) & tri
+
+        # within-block greedy, unrolled (static small loop)
+        for i in range(block):
+            blk_keep = blk_keep & ~(sup[i] & blk_keep[i])
+
+        keep = jax.lax.dynamic_update_slice(keep, blk_keep, (start,))
+        # kept boxes of this block suppress every later candidate at once
+        row = jax.lax.dynamic_slice(iou, (start, 0), (block, k))
+        later = jnp.arange(k) >= start + block
+        suppressed = jnp.any((row > iou_thres) & blk_keep[:, None], axis=0)
+        keep = keep & ~(suppressed & later)
+        return keep, None
+
+    keep, _ = jax.lax.scan(body, valid, jnp.arange(n_blocks))
+    return keep
+
+
 def compact_by_mask(mask: jnp.ndarray, *arrays: jnp.ndarray,
                     max_out: int) -> Tuple[jnp.ndarray, ...]:
     """Stable-compact rows where mask is True to the front, pad to max_out.

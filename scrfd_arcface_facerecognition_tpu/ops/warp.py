@@ -85,6 +85,50 @@ def warp_affine_batch(image: jnp.ndarray, ms: jnp.ndarray,
     return jax.vmap(lambda m: warp_affine(image, m, out_hw))(ms)
 
 
+def warp_affine_flat(frames: jnp.ndarray, ms: jnp.ndarray,
+                     frame_idx: jnp.ndarray,
+                     out_hw: Tuple[int, int] = (112, 112)) -> jnp.ndarray:
+    """Warp F crops out of a frame batch with ONE flat gather.
+
+    frames: (B, H, W, C) (uint8 or float); ms: (F, 2, 3) src->dst matrices;
+    frame_idx: (F,) which frame each crop samples. Returns (F, h, w, C) f32.
+
+    All four bilinear taps for all crops go through a single row-gather on a
+    (B*H*W, C) view — one XLA gather op instead of 4 per (frame, face) pair
+    of the vmapped path, which matters on TPU where gather dispatch
+    overhead dominates.
+    """
+    b, h, w, c = frames.shape
+    oh, ow = out_hw
+    f = ms.shape[0]
+    minv = invert_affine(ms.astype(jnp.float32))     # (F, 2, 3)
+    gx, gy = jnp.meshgrid(jnp.arange(ow, dtype=jnp.float32),
+                          jnp.arange(oh, dtype=jnp.float32))
+    sx = (minv[:, 0, 0, None, None] * gx + minv[:, 0, 1, None, None] * gy
+          + minv[:, 0, 2, None, None])               # (F, oh, ow)
+    sy = (minv[:, 1, 0, None, None] * gx + minv[:, 1, 1, None, None] * gy
+          + minv[:, 1, 2, None, None])
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = frames.reshape(b * h * w, c).astype(jnp.float32)
+    base = (frame_idx.astype(jnp.int32) * h)[:, None, None]
+
+    def tap(yi, xi, wgt):
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        lin = (base + jnp.clip(yi, 0, h - 1)) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take(flat, lin, axis=0)            # (F, oh, ow, C)
+        return vals * (wgt * inside.astype(jnp.float32))[..., None]
+
+    return (tap(y0i, x0i, (1 - fx) * (1 - fy))
+            + tap(y0i, x0i + 1, fx * (1 - fy))
+            + tap(y0i + 1, x0i, (1 - fx) * fy)
+            + tap(y0i + 1, x0i + 1, fx * fy))
+
+
 def norm_crop(image: jnp.ndarray, landmarks: jnp.ndarray,
               image_size: int = 112) -> jnp.ndarray:
     """Align-and-crop by 5 landmarks (helpers.py:56-59).

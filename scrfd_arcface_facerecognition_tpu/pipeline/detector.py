@@ -82,7 +82,7 @@ def detect_batch(apply_fn, variables, frames: jnp.ndarray, *,
     valid = top_scores >= conf_thres
 
     def per_frame(boxes_f, scores_f, kps_f, valid_f):
-        keep = ops.nms_mask(boxes_f, iou_thres, valid_f)
+        keep = ops.nms_mask_blocked(boxes_f, iou_thres, valid_f)
         det = jnp.concatenate([boxes_f, scores_f[:, None]], axis=1)
         count, mask, det_c, kps_c = ops.nms.compact_by_mask(
             keep, det, kps_f, max_out=max_det)
@@ -120,9 +120,9 @@ class Detector:
         self.pre_nms = pre_nms
         self.max_det = max_det
         if variables is None:
-            variables = self.model.init(
-                jax.random.PRNGKey(seed),
-                jnp.zeros((1, *self.input_size, 3), jnp.float32))
+            from ..models.init_utils import cpu_init
+
+            variables = cpu_init(self.model, seed, (1, *self.input_size, 3))
         self.variables = variables
         self._jitted = {}
 

@@ -19,25 +19,35 @@ from ..models.arcface import ARCFACE_CONFIGS
 from .. import ops
 
 
+def embed_crops(apply_fn, variables, frames: jnp.ndarray, kps_flat: jnp.ndarray,
+                frame_idx: jnp.ndarray, valid_flat: jnp.ndarray, *,
+                image_size: int = 112, l2: bool = True) -> jnp.ndarray:
+    """Embed F face crops drawn from a frame batch (flat form).
+
+    frames (B, H, W, 3) u8 BGR; kps_flat (F, 5, 2); frame_idx (F,);
+    valid_flat (F,) -> (F, 512) embeddings (invalid slots -> 0).
+    """
+    matrices = ops.estimate_norm(kps_flat, image_size)         # (F, 2, 3)
+    crops = ops.warp.warp_affine_flat(frames, matrices, frame_idx,
+                                      (image_size, image_size))
+    net_in = ops.normalize_image(crops, ops.ARCFACE_MEAN, ops.ARCFACE_STD)
+    emb = apply_fn(variables, net_in)                          # (F, 512)
+    if l2:
+        emb = ops.l2_normalize(emb)
+    return emb * valid_flat[:, None].astype(emb.dtype)
+
+
 def embed_faces(apply_fn, variables, frames: jnp.ndarray, kps: jnp.ndarray,
                 valid: jnp.ndarray, *, image_size: int = 112,
                 l2: bool = True) -> jnp.ndarray:
     """frames (B, H, W, 3) u8 BGR; kps (B, K, 5, 2); valid (B, K) ->
     (B, K, 512) embeddings (L2-normalized unless l2=False; invalid -> 0)."""
     b, k = kps.shape[0], kps.shape[1]
-    matrices = ops.estimate_norm(kps, image_size)              # (B, K, 2, 3)
-    frames_f = frames.astype(jnp.float32)
-
-    warp = functools.partial(ops.warp_affine, out_hw=(image_size, image_size))
-    crops = jax.vmap(lambda img, ms: jax.vmap(lambda m: warp(img, m))(ms))(
-        frames_f, matrices)                                    # (B, K, s, s, 3)
-
-    net_in = ops.normalize_image(crops, ops.ARCFACE_MEAN, ops.ARCFACE_STD)
-    flat = net_in.reshape(b * k, image_size, image_size, 3)
-    emb = apply_fn(variables, flat).reshape(b, k, -1)          # (B, K, 512)
-    if l2:
-        emb = ops.l2_normalize(emb)
-    return emb * valid[..., None].astype(emb.dtype)
+    frame_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+    emb = embed_crops(apply_fn, variables, frames,
+                      kps.reshape(b * k, 5, 2), frame_idx,
+                      valid.reshape(b * k), image_size=image_size, l2=l2)
+    return emb.reshape(b, k, -1)
 
 
 class Embedder:
@@ -52,8 +62,9 @@ class Embedder:
         self.model = build_arcface(variant, dtype=dtype)
         self.input_size = (112, 112)
         if variables is None:
-            variables = self.model.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, 112, 112, 3)))
+            from ..models.init_utils import cpu_init
+
+            variables = cpu_init(self.model, seed, (1, 112, 112, 3))
         self.variables = variables
         self._jitted = {}
 

@@ -86,3 +86,26 @@ def test_select_top_faces_center_metric():
         max_num=1, metric="default", frame_hw=(480, 640))
     # center-weighted metric prefers the centered box despite smaller area
     assert float(det_out[0, 4]) == np.float32(0.9)
+
+
+def test_blocked_nms_matches_sequential():
+    """nms_mask_blocked must equal nms_mask bit-for-bit (property test)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n = 256
+        dets = _random_dets(rng, n, wh=400)  # dense -> heavy overlap
+        valid = rng.random(n) > 0.1
+        # valid pattern must be applied to score-sorted order consistently
+        m1 = np.asarray(ops.nms_mask(jnp.asarray(dets[:, :4]), 0.4,
+                                     jnp.asarray(valid)))
+        m2 = np.asarray(ops.nms_mask_blocked(jnp.asarray(dets[:, :4]), 0.4,
+                                             jnp.asarray(valid)))
+        np.testing.assert_array_equal(m1, m2, err_msg=f"trial {trial}")
+
+
+def test_blocked_nms_rejects_bad_size():
+    import jax.numpy as jnp
+    import pytest
+    with pytest.raises(ValueError):
+        ops.nms_mask_blocked(jnp.zeros((100, 4)), 0.4)

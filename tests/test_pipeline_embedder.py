@@ -95,3 +95,36 @@ def test_face_pipeline_unknown_below_threshold():
     assert n > 0
     assert int(out.match_idx[0, 0]) == -1
     assert pipe.match_names(out)[0][0] == "Unknown"
+
+
+def test_bucketed_matches_dense():
+    """Bucketed stage-2 must produce identical outputs to the dense path."""
+    import jax
+    pipe = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
+                        conf_thres=0.0, pre_nms=32, max_det=4,
+                        gallery_capacity=8, similarity_thresh=0.4, seed=0)
+    rng = np.random.default_rng(5)
+    g = rng.normal(size=(3, 512)).astype(np.float32)
+    pipe.set_gallery(g, ["a", "b", "c"])
+    frames = rng.integers(0, 255, size=(2, 128, 160, 3), dtype=np.uint8)
+    dense = pipe(jnp.asarray(frames), max_num=2, bucketed=False)
+    buck = pipe(jnp.asarray(frames), max_num=2, bucketed=True)
+    np.testing.assert_array_equal(np.asarray(dense.valid), np.asarray(buck.valid))
+    np.testing.assert_allclose(np.asarray(dense.embeddings),
+                               np.asarray(buck.embeddings), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(dense.match_idx),
+                                  np.asarray(buck.match_idx))
+    np.testing.assert_allclose(np.asarray(dense.match_sim),
+                               np.asarray(buck.match_sim), atol=2e-5)
+
+
+def test_bucketed_zero_faces():
+    pipe = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
+                        conf_thres=2.0, pre_nms=16, max_det=4,
+                        gallery_capacity=8, seed=0)  # conf>1: nothing passes
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 255, size=(1, 96, 96, 3), dtype=np.uint8)
+    out = pipe(jnp.asarray(frames), bucketed=True)
+    assert int(np.asarray(out.count).sum()) == 0
+    assert (np.asarray(out.match_idx) == -1).all()
+    assert (np.asarray(out.embeddings) == 0).all()
