@@ -1,0 +1,228 @@
+"""ctypes bindings to the native runtime (native/libsafr_native.so).
+
+The shared library is built from native/src/*.cpp via `make -C native`
+(attempted automatically on first use). Every binding has a pure-Python
+fallback so the framework works without a toolchain; the native paths are
+the production ones (no GIL during frame copies, C-speed union-find).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import queue as _queue
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsafr_native.so")
+
+_lib = None
+_build_attempted = False
+_lock = threading.Lock()
+
+
+def build_native() -> bool:
+    """Build libsafr_native.so via make. Returns True if the lib exists."""
+    global _build_attempted
+    with _lock:
+        if os.path.exists(_LIB_PATH):
+            return True
+        if _build_attempted:
+            return os.path.exists(_LIB_PATH)
+        _build_attempted = True
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return False
+        return os.path.exists(_LIB_PATH)
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not build_native():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    # framepipe
+    lib.fp_create.restype = ctypes.c_void_p
+    lib.fp_create.argtypes = [ctypes.c_size_t, ctypes.c_int]
+    lib.fp_destroy.argtypes = [ctypes.c_void_p]
+    lib.fp_push.restype = ctypes.c_int
+    lib.fp_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                            ctypes.c_size_t, ctypes.c_int]
+    lib.fp_pop.restype = ctypes.c_int
+    lib.fp_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    lib.fp_close.argtypes = [ctypes.c_void_p]
+    lib.fp_size.restype = ctypes.c_int
+    lib.fp_size.argtypes = [ctypes.c_void_p]
+    lib.fp_closed.restype = ctypes.c_int
+    lib.fp_closed.argtypes = [ctypes.c_void_p]
+    # snapshot
+    lib.gs_write.restype = ctypes.c_int
+    lib.gs_write.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                             ctypes.c_int64, ctypes.c_int64,
+                             ctypes.POINTER(ctypes.c_int64)]
+    lib.gs_read_header.restype = ctypes.c_int
+    lib.gs_read_header.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_int64),
+                                   ctypes.POINTER(ctypes.c_int64)]
+    lib.gs_read.restype = ctypes.c_int
+    lib.gs_read.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                            ctypes.POINTER(ctypes.c_int64)]
+    # unionfind
+    lib.uf_groups.restype = ctypes.c_int64
+    lib.uf_groups.argtypes = [ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                              ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+# ------------------------------------------------------------- frame pipe
+
+
+class FramePipe:
+    """Bounded SPSC byte-frame queue (native when available)."""
+
+    def __init__(self, slot_bytes: int, n_slots: int = 16):
+        self.slot_bytes = slot_bytes
+        self.n_slots = n_slots
+        lib = _load()
+        self._lib = lib
+        if lib is not None:
+            self._q = lib.fp_create(slot_bytes, n_slots)
+            if not self._q:
+                raise RuntimeError("fp_create failed")
+        else:
+            self._q = None
+            self._pyq: _queue.Queue = _queue.Queue(maxsize=n_slots)
+            self._closed = False
+
+    def push(self, data: bytes, timeout_ms: int = 10000) -> bool:
+        if self._q is not None:
+            return bool(self._lib.fp_push(self._q, data, len(data), timeout_ms))
+        if self._closed:
+            return False
+        try:
+            self._pyq.put(bytes(data), timeout=timeout_ms / 1000)
+            return True
+        except _queue.Full:
+            return False
+
+    def pop(self, timeout_ms: int = 10000) -> Optional[bytes]:
+        """One frame's bytes, or None when the pipe is closed and drained."""
+        if self._q is not None:
+            buf = ctypes.create_string_buffer(self.slot_bytes)
+            rc = self._lib.fp_pop(self._q, buf, timeout_ms)
+            if rc == 1:
+                return buf.raw
+            if rc == -1:
+                return None
+            raise TimeoutError("fp_pop timed out")
+        while True:
+            try:
+                return self._pyq.get(timeout=timeout_ms / 1000)
+            except _queue.Empty:
+                if self._closed:
+                    return None
+                raise TimeoutError("pop timed out")
+
+    def close(self) -> None:
+        if self._q is not None:
+            self._lib.fp_close(self._q)
+        else:
+            self._closed = True
+
+    def size(self) -> int:
+        if self._q is not None:
+            return self._lib.fp_size(self._q)
+        return self._pyq.qsize()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_q", None) is not None:
+                self._lib.fp_destroy(self._q)
+                self._q = None
+        except Exception:
+            pass
+
+
+# --------------------------------------------------------------- unionfind
+
+
+def uf_group_roots(n: int, pairs: np.ndarray) -> np.ndarray:
+    """(M, 2) int pair indices -> (n,) root per item (min-id root)."""
+    pairs = np.ascontiguousarray(np.asarray(pairs, np.int64).reshape(-1, 2))
+    lib = _load()
+    if lib is not None:
+        out = np.empty(n, np.int64)
+        lib.uf_groups(
+            n, pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(pairs), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return out
+    # Python fallback
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return np.asarray([find(i) for i in range(n)], np.int64)
+
+
+# ---------------------------------------------------------------- snapshot
+
+
+def snapshot_write(path: str, embeddings: np.ndarray, ids: np.ndarray) -> None:
+    emb = np.ascontiguousarray(embeddings, np.float32)
+    ids = np.ascontiguousarray(ids, np.int64)
+    rows, dim = emb.shape
+    lib = _load()
+    if lib is not None:
+        rc = lib.gs_write(path.encode(),
+                          emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          rows, dim,
+                          ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc != 0:
+            raise IOError(f"gs_write failed: {rc}")
+        return
+    np.savez(path + ".npz", embeddings=emb, ids=ids)
+    os.replace(path + ".npz", path)
+
+
+def snapshot_read(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    if lib is not None:
+        rows = ctypes.c_int64()
+        dim = ctypes.c_int64()
+        rc = lib.gs_read_header(path.encode(), ctypes.byref(rows),
+                                ctypes.byref(dim))
+        if rc != 0:
+            raise IOError(f"gs_read_header failed: {rc}")
+        emb = np.empty((rows.value, dim.value), np.float32)
+        ids = np.empty(rows.value, np.int64)
+        rc = lib.gs_read(path.encode(),
+                         emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc != 0:
+            raise IOError(f"gs_read failed (corrupt snapshot?): {rc}")
+        return emb, ids
+    data = np.load(path, allow_pickle=False)
+    return data["embeddings"], data["ids"]

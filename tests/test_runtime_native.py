@@ -1,0 +1,115 @@
+"""Native runtime: build, frame pipe, union-find, snapshot store, video."""
+import threading
+
+import numpy as np
+import pytest
+
+from scrfd_arcface_facerecognition_tpu.runtime import (
+    native_available, build_native, FramePipe, uf_group_roots,
+    snapshot_write, snapshot_read, BatchedFrameReader)
+
+
+def test_native_library_builds():
+    assert build_native(), "libsafr_native.so must build with g++"
+    assert native_available()
+
+
+def test_framepipe_roundtrip():
+    pipe = FramePipe(slot_bytes=16, n_slots=4)
+    assert pipe.push(b"x" * 16)
+    assert pipe.push(b"y" * 16)
+    assert pipe.size() == 2
+    assert pipe.pop() == b"x" * 16
+    assert pipe.pop() == b"y" * 16
+    pipe.close()
+    assert pipe.pop() is None  # closed + drained
+
+
+def test_framepipe_threaded_ordering():
+    pipe = FramePipe(slot_bytes=8, n_slots=4)  # small ring forces blocking
+    n = 200
+
+    def producer():
+        for i in range(n):
+            assert pipe.push(i.to_bytes(8, "little"))
+        pipe.close()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    got = []
+    while True:
+        data = pipe.pop()
+        if data is None:
+            break
+        got.append(int.from_bytes(data, "little"))
+    t.join()
+    assert got == list(range(n))
+
+
+def test_framepipe_rejects_oversize():
+    pipe = FramePipe(slot_bytes=4, n_slots=2)
+    assert not pipe.push(b"too large for slot")
+
+
+def test_uf_group_roots():
+    pairs = np.asarray([[0, 1], [1, 2], [4, 5]], np.int64)
+    roots = uf_group_roots(7, pairs)
+    assert roots[0] == roots[1] == roots[2] == 0
+    assert roots[4] == roots[5] == 4
+    assert roots[3] == 3 and roots[6] == 6
+
+
+def test_uf_empty_pairs():
+    roots = uf_group_roots(3, np.zeros((0, 2), np.int64))
+    assert roots.tolist() == [0, 1, 2]
+
+
+def test_snapshot_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(17, 512)).astype(np.float32)
+    ids = rng.integers(0, 10000, size=17).astype(np.int64)
+    path = str(tmp_path / "gallery.safr")
+    snapshot_write(path, emb, ids)
+    emb2, ids2 = snapshot_read(path)
+    np.testing.assert_array_equal(emb, emb2)
+    np.testing.assert_array_equal(ids, ids2)
+
+
+def test_snapshot_detects_corruption(tmp_path):
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(4, 8)).astype(np.float32)
+    ids = np.arange(4, dtype=np.int64)
+    path = str(tmp_path / "g.safr")
+    snapshot_write(path, emb, ids)
+    raw = bytearray(open(path, "rb").read())
+    raw[40] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(IOError):
+        snapshot_read(path)
+
+
+class _FakeCapture:
+    def __init__(self, frames):
+        self.frames = list(frames)
+
+    def read(self):
+        if not self.frames:
+            return False, None
+        return True, self.frames.pop(0)
+
+
+def test_batched_frame_reader():
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+              for _ in range(10)]
+    reader = BatchedFrameReader(_FakeCapture(list(frames)), batch=4)
+    batches = list(reader)
+    assert [len(b) for b in batches] == [4, 4, 2]
+    np.testing.assert_array_equal(np.concatenate(batches), np.stack(frames))
+
+
+def test_batched_frame_reader_empty():
+    reader = BatchedFrameReader(_FakeCapture([]), batch=4)
+    assert list(reader) == []
