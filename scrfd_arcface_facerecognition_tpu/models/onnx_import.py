@@ -1,0 +1,247 @@
+"""ONNX weight importer: released .onnx files -> Flax parameter trees.
+
+Loads the five released weight files (SURVEY.md §2.4: det_500m/2.5g/10g,
+w600k_mbf/r50; downloadable per reference README.md:55-61) into the Flax
+models. Conversion conventions:
+
+- Conv W: ONNX OIHW -> Flax HWIO: transpose (2, 3, 1, 0); grouped convs
+  keep the (H, W, I/g, O) layout after the same transpose.
+- BatchNorm: scale/B -> params.{scale,bias}; mean/var -> batch_stats.
+- PRelu slope (C,) or (C,1,1) -> PReLU alpha (C,).
+- Gemm/MatMul after a flatten: ONNX flattens NCHW (c, h, w); our NHWC
+  models flatten (h, w, c). The FC weight is re-permuted:
+  W(out, C*H*W) -> reshape (out, C, H, W) -> transpose (2, 3, 1, 0)
+  -> reshape (H*W*C, out).
+
+The walker maps weights by NODE ORDER against the model's deterministic
+module order (Flax parameter paths sorted by definition sequence), checking
+shape agreement at every step and failing loudly on mismatch — verified
+end-to-end against synthetic ONNX graphs in tests/test_onnx_import.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .onnx_proto import OnnxGraph, OnnxNode, load_onnx
+
+
+def conv_kernel_to_flax(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def fc_kernel_to_flax(w: np.ndarray, chw: Tuple[int, int, int],
+                      transB: bool = True) -> np.ndarray:
+    """Gemm weight -> Dense kernel with NCHW->NHWC flatten fix.
+
+    w: (out, C*H*W) if transB else (C*H*W, out); chw: the pre-flatten
+    feature map shape (C, H, W).
+    """
+    c, h, wd = chw
+    if not transB:
+        w = w.T
+    out = w.shape[0]
+    return np.ascontiguousarray(
+        w.reshape(out, c, h, wd).transpose(2, 3, 1, 0).reshape(h * wd * c, out))
+
+
+def prelu_slope_to_flax(s: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(s.reshape(-1))
+
+
+@dataclasses.dataclass
+class _Extracted:
+    """Weight bundles pulled from the graph in node order."""
+    convs: List[Dict[str, np.ndarray]]
+    bns: List[Dict[str, np.ndarray]]
+    prelus: List[np.ndarray]
+    gemms: List[Dict[str, np.ndarray]]
+
+
+def extract_weight_sequences(graph: OnnxGraph) -> _Extracted:
+    """Collect Conv/BN/PRelu/Gemm weights in topological (node) order."""
+    init = graph.initializers
+    convs, bns, prelus, gemms = [], [], [], []
+    for node in graph.nodes:
+        if node.op_type == "Conv":
+            entry = {"kernel": conv_kernel_to_flax(init[node.inputs[1]]),
+                     "group": int(node.attrs.get("group", 1))}
+            if len(node.inputs) > 2 and node.inputs[2] in init:
+                entry["bias"] = init[node.inputs[2]].reshape(-1)
+            convs.append(entry)
+        elif node.op_type == "BatchNormalization":
+            bns.append({
+                "scale": init[node.inputs[1]].reshape(-1),
+                "bias": init[node.inputs[2]].reshape(-1),
+                "mean": init[node.inputs[3]].reshape(-1),
+                "var": init[node.inputs[4]].reshape(-1),
+            })
+        elif node.op_type == "PRelu":
+            prelus.append(prelu_slope_to_flax(init[node.inputs[1]]))
+        elif node.op_type in ("Gemm", "MatMul"):
+            w = init.get(node.inputs[1])
+            if w is None:
+                continue
+            entry = {"weight": w,
+                     "transB": bool(node.attrs.get("transB", 0))
+                     or node.op_type == "Gemm" and bool(node.attrs.get("transB", 0))}
+            if node.op_type == "MatMul":
+                entry["transB"] = False
+            if len(node.inputs) > 2 and node.inputs[2] in init:
+                entry["bias"] = init[node.inputs[2]].reshape(-1)
+            gemms.append(entry)
+    return _Extracted(convs, bns, prelus, gemms)
+
+
+def _flat_params_in_order(variables) -> List[Tuple[tuple, np.ndarray]]:
+    """Flatten a variables collection preserving insertion (definition)
+    order of flax's FrozenDict/dict."""
+    out = []
+
+    def walk(node, path):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            out.append((path, node))
+
+    walk(variables, ())
+    return out
+
+
+class ImportError_(ValueError):
+    pass
+
+
+def import_into_variables(variables: Dict[str, Any], graph: OnnxGraph,
+                          fc_chw: Optional[Tuple[int, int, int]] = None
+                          ) -> Dict[str, Any]:
+    """Fill a Flax variables tree from an ONNX graph by ordered matching.
+
+    The model's conv/bn/prelu/dense parameters (in definition order) are
+    zipped against the graph's Conv/BN/PRelu/Gemm nodes (in node order).
+    Raises ImportError_ with a precise location when counts or shapes
+    mismatch — structural disagreement means the architecture doesn't
+    correspond to the file and silent corruption is never possible.
+    """
+    import jax
+
+    ex = extract_weight_sequences(graph)
+    params = _flat_params_in_order(variables.get("params", variables))
+    stats = _flat_params_in_order(variables.get("batch_stats", {}))
+
+    # group our parameters by module (the path minus the leaf name)
+    new_params: Dict[tuple, np.ndarray] = {}
+    new_stats: Dict[tuple, np.ndarray] = {}
+
+    conv_i = bn_i = prelu_i = gemm_i = 0
+    by_module: Dict[tuple, Dict[str, np.ndarray]] = {}
+    for path, arr in params:
+        by_module.setdefault(path[:-1], {})[path[-1]] = arr
+    stats_by_module: Dict[tuple, Dict[str, np.ndarray]] = {}
+    for path, arr in stats:
+        stats_by_module.setdefault(path[:-1], {})[path[-1]] = arr
+
+    def fail(msg):
+        raise ImportError_(msg)
+
+    for mod_path, leaves in by_module.items():
+        if "kernel" in leaves and leaves["kernel"].ndim == 4:      # conv
+            if conv_i >= len(ex.convs):
+                fail(f"model has more convs than graph at {mod_path}")
+            src = ex.convs[conv_i]
+            conv_i += 1
+            if tuple(src["kernel"].shape) != tuple(leaves["kernel"].shape):
+                fail(f"conv shape mismatch at {'/'.join(mod_path)}: "
+                     f"onnx {src['kernel'].shape} vs model "
+                     f"{leaves['kernel'].shape}")
+            new_params[mod_path + ("kernel",)] = src["kernel"]
+            if "bias" in leaves:
+                bias = src.get("bias", np.zeros(leaves["bias"].shape, np.float32))
+                new_params[mod_path + ("bias",)] = bias
+        elif "kernel" in leaves and leaves["kernel"].ndim == 2:    # dense
+            if gemm_i >= len(ex.gemms):
+                fail(f"model has more dense layers than graph at {mod_path}")
+            src = ex.gemms[gemm_i]
+            gemm_i += 1
+            w = src["weight"]
+            if fc_chw is not None and (w.shape[0] == leaves["kernel"].shape[1]
+                                       or src.get("transB")):
+                kernel = fc_kernel_to_flax(
+                    w if w.shape[1] == leaves["kernel"].shape[0] or src.get("transB")
+                    else w.T, fc_chw, transB=True
+                    if w.shape[0] == leaves["kernel"].shape[1] else False)
+            else:
+                kernel = w if w.shape == leaves["kernel"].shape else w.T
+            if kernel.shape != leaves["kernel"].shape:
+                fail(f"dense shape mismatch at {'/'.join(mod_path)}: "
+                     f"{kernel.shape} vs {leaves['kernel'].shape}")
+            new_params[mod_path + ("kernel",)] = kernel
+            if "bias" in leaves:
+                new_params[mod_path + ("bias",)] = src.get(
+                    "bias", np.zeros(leaves["bias"].shape, np.float32))
+        elif "alpha" in leaves:                                    # prelu
+            if prelu_i >= len(ex.prelus):
+                fail(f"model has more PReLUs than graph at {mod_path}")
+            slope = ex.prelus[prelu_i]
+            prelu_i += 1
+            if slope.shape != leaves["alpha"].shape:
+                fail(f"prelu shape mismatch at {'/'.join(mod_path)}")
+            new_params[mod_path + ("alpha",)] = slope
+        elif "scale" in leaves and mod_path in stats_by_module:    # batchnorm
+            if bn_i >= len(ex.bns):
+                fail(f"model has more BNs than graph at {mod_path}")
+            src = ex.bns[bn_i]
+            bn_i += 1
+            if src["scale"].shape != leaves["scale"].shape:
+                fail(f"bn shape mismatch at {'/'.join(mod_path)}")
+            new_params[mod_path + ("scale",)] = src["scale"]
+            new_params[mod_path + ("bias",)] = src["bias"]
+            new_stats[mod_path + ("mean",)] = src["mean"]
+            new_stats[mod_path + ("var",)] = src["var"]
+        else:                                                      # misc
+            for leaf, arr in leaves.items():
+                new_params[mod_path + (leaf,)] = np.asarray(arr)
+
+    def rebuild(tree, table, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            p = prefix + (k,)
+            if isinstance(v, dict) or hasattr(v, "items"):
+                out[k] = rebuild(v, table, p)
+            else:
+                out[k] = np.asarray(table.get(p, v))
+        return out
+
+    result = {"params": rebuild(variables["params"], new_params)}
+    if "batch_stats" in variables:
+        result["batch_stats"] = rebuild(variables["batch_stats"], new_stats)
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), result)
+
+
+def load_arcface_weights(model, onnx_path: str, seed: int = 0):
+    """ONNX -> variables for an ArcFace embedder (fc_chw = (512, 7, 7) for
+    r50; (512, 1, 1) for mbf's GDC output)."""
+    from .init_utils import cpu_init
+
+    variables = cpu_init(model, seed, (1, 112, 112, 3))
+    graph = load_onnx(onnx_path)
+    # infer pre-flatten CHW from the model's dense kernel fan-in
+    dense_in = variables["params"]["fc"]["kernel"].shape[0]
+    if dense_in % 49 == 0:
+        fc_chw = (dense_in // 49, 7, 7)
+    else:
+        fc_chw = (dense_in, 1, 1)
+    return import_into_variables(variables, graph, fc_chw=fc_chw)
+
+
+def load_scrfd_weights(model, onnx_path: str, seed: int = 0,
+                       input_size: Tuple[int, int] = (640, 640)):
+    from .init_utils import cpu_init
+
+    variables = cpu_init(model, seed, (1, *input_size, 3))
+    graph = load_onnx(onnx_path)
+    return import_into_variables(variables, graph)

@@ -1,0 +1,160 @@
+"""Web API: all 14 routes, both via dispatch and over a live HTTP socket."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from scrfd_arcface_facerecognition_tpu.apps.clustering import SmartFaceEngine
+from scrfd_arcface_facerecognition_tpu.apps.verification import FaceComparison
+from scrfd_arcface_facerecognition_tpu.apps.webapp import WebApp, make_server
+from scrfd_arcface_facerecognition_tpu.utils.config import DEFAULT_CONFIG, deep_update
+from fake_stack import FakeFaceAnalysis, FakeImageStore, visit
+
+
+@pytest.fixture
+def app(tmp_path):
+    store = FakeImageStore()
+    cfg = deep_update(DEFAULT_CONFIG, {
+        "system": {"database_path": str(tmp_path / "face.db"),
+                   "image_cache_dir": str(tmp_path / "cache")}})
+    engine = SmartFaceEngine(config=cfg, app=FakeFaceAnalysis(),
+                             image_loader=store.loader,
+                             results_dir=str(tmp_path / "results"))
+    comparison = FaceComparison(config=cfg, app=engine.app,
+                                image_loader=store.loader)
+    webapp = WebApp(engine, comparison=comparison,
+                    api_config_path=str(tmp_path / "api_config.txt"),
+                    results_dir=str(tmp_path))
+    webapp._store = store
+    webapp._tmp = tmp_path
+    return webapp
+
+
+def _seed_visits(app, n=3):
+    ok_box = {"width": 90, "height": 120, "top": 300, "left": 300}
+    urls = []
+    for i in range(n):
+        url = app._store.add(f"http://x/{i}.jpg", identity=i)
+        urls.append(visit(i, url, box=ok_box))
+    app.dispatch("POST", "/api/process-visits",
+                 {"visits": urls, "save_images": False})
+    return urls
+
+
+def test_index_and_stats(app):
+    status, ctype, html = app.dispatch("GET", "/")
+    assert status == 200 and "<html" in html.lower()
+    status, _, stats = app.dispatch("GET", "/api/stats")
+    assert status == 200
+    assert set(stats) == {"total_persons", "total_visits", "total_images",
+                          "low_similarity_count", "recent_activity"}
+
+
+def test_process_visits_and_groups(app):
+    _seed_visits(app, 3)
+    status, _, payload = app.dispatch("GET", "/api/person-groups")
+    assert status == 200
+    assert len(payload["groups"]) == 3
+    status, _, stats = app.dispatch("GET", "/api/stats")
+    assert stats["total_persons"] == 3
+
+
+def test_person_detail(app):
+    _seed_visits(app, 1)
+    status, _, groups = app.dispatch("GET", "/api/person-groups")
+    pid = groups["groups"][0]["person_id"]
+    status, _, person = app.dispatch("GET", f"/api/person/{pid}")
+    assert status == 200 and person["id"] == pid and person["visits"]
+    assert app.dispatch("GET", "/api/person/99999")[0] == 404
+    assert app.dispatch("GET", "/api/person/abc")[0] == 400
+
+
+def test_process_visits_requires_input(app):
+    assert app.dispatch("POST", "/api/process-visits", {})[0] == 400
+
+
+def test_merge_and_clear(app):
+    _seed_visits(app, 2)
+    status, _, res = app.dispatch("POST", "/api/merge-duplicates",
+                                  {"threshold": 0.8})
+    assert status == 200 and res["success"]
+    status, _, res = app.dispatch("POST", "/api/clear-database", {})
+    assert res["success"]
+    assert app.dispatch("GET", "/api/stats")[2]["total_persons"] == 0
+
+
+def test_low_similarity_endpoint(app):
+    app.engine.app.no_face_identities = {5}
+    url = app._store.add("http://x/noface.jpg", identity=5)
+    ok_box = {"width": 90, "height": 120, "top": 300, "left": 300}
+    app.dispatch("POST", "/api/process-visits",
+                 {"visits": [visit(0, url, box=ok_box)], "save_images": False})
+    status, _, payload = app.dispatch("GET", "/api/low-similarity-images")
+    assert status == 200 and len(payload["images"]) == 1
+
+
+def test_face_comparisons_endpoint(app):
+    app._store.add("http://x/a1.jpg", 1, 0)
+    app._store.add("http://x/a2.jpg", 1, 1)
+    records = [{"id": "r1", "image": "http://x/a1.jpg",
+                "refImage": "http://x/a2.jpg", "isConverted": True}]
+    status, _, res = app.dispatch(
+        "POST", "/api/process-face-comparisons-from-api", {"records": records})
+    assert status == 200 and res["success"]
+    assert res["summary"]["same_person"] == 1
+    saved = json.load(open(res["results_file"]))
+    assert saved["metadata"]["total_comparisons"] == 1
+    assert saved["comparisons"][0]["match_status"] == "SAME"
+
+
+def test_image_endpoints(app, tmp_path):
+    import cv2
+    img_path = str(tmp_path / "test.jpg")
+    cv2.imwrite(img_path, np.full((400, 600, 3), 128, np.uint8))
+    status, ctype, data = app.dispatch("GET", f"/api/image/{img_path}")
+    assert status == 200 and ctype == "image/jpeg" and len(data) > 100
+    status, _, payload = app.dispatch("GET", f"/api/image-base64/{img_path}")
+    assert status == 200
+    assert payload["image"].startswith("data:image/jpeg;base64,")
+    assert app.dispatch("GET", "/api/image/nonexistent.jpg")[0] == 404
+
+
+def test_clear_cache(app):
+    status, _, res = app.dispatch("POST", "/api/clear-cache", {})
+    assert res["success"]
+
+
+def test_config_endpoint(app):
+    (app._tmp / "api_config.txt").write_text("API_URL=https://x\n")
+    status, _, payload = app.dispatch("GET", "/api/config")
+    assert payload["config"]["API_URL"] == "https://x"
+
+
+def test_unknown_route(app):
+    assert app.dispatch("GET", "/api/nope")[0] == 404
+    assert app.dispatch("POST", "/api/nope", {})[0] == 404
+
+
+def test_live_http_server(app):
+    """Full socket round-trip through ThreadingHTTPServer."""
+    server = make_server(app, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/api/stats") as r:
+            stats = json.loads(r.read())
+            assert "total_persons" in stats
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/process-visits",
+            data=json.dumps({}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
