@@ -1,0 +1,126 @@
+"""Realtime CLI: arg surface parity, gallery bootstrap, annotated output."""
+import os
+import types
+
+import cv2
+import numpy as np
+import pytest
+
+from scrfd_arcface_facerecognition_tpu.apps import realtime
+from scrfd_arcface_facerecognition_tpu.apps import dualstream
+from scrfd_arcface_facerecognition_tpu.pipeline.face_pipeline import PipelineOutput
+
+
+def test_cli_flags_match_reference():
+    """Same flag set as main.py:17-68 (plus TPU additions)."""
+    args = realtime.parse_args([])
+    assert args.det_weight.endswith("det_10g.onnx")
+    assert args.rec_weight.endswith("w600k_r50.onnx")
+    assert args.similarity_thresh == 0.4
+    assert args.confidence_thresh == 0.5
+    assert args.faces_dir == "./faces"
+    assert args.max_num == 0
+    assert args.log_level == "INFO"
+    custom = realtime.parse_args(["--similarity-thresh", "0.7",
+                                  "--source", "0", "--max-num", "3"])
+    assert custom.similarity_thresh == 0.7 and custom.max_num == 3
+
+
+def test_variant_from_path():
+    assert realtime.variant_from_path("./weights/det_10g.onnx", "x") == "det_10g"
+    assert realtime.variant_from_path("/a/b/w600k_mbf.onnx", "x") == "w600k_mbf"
+    assert realtime.variant_from_path("./weights/custom.onnx", "det_500m") == "det_500m"
+
+
+class _StubPipeline:
+    """FacePipeline-shaped stub: one detection per frame, first gallery hit."""
+
+    def __init__(self):
+        self.names = []
+
+        class _Det:
+            def detect(self, image, max_num=0, metric="max"):
+                det = np.array([[10, 10, 60, 70, 0.9]], np.float32)
+                kps = np.tile(np.array([[20, 30]], np.float32), (1, 5, 1))
+                return det, kps
+
+        class _Emb:
+            def __call__(self, image, kps):
+                return np.ones(512, np.float32)
+
+        self.detector = _Det()
+        self.embedder = _Emb()
+
+    def set_gallery(self, embs, names):
+        self.names = list(names)
+
+    def __call__(self, frames, max_num=0, metric="max"):
+        import jax.numpy as jnp
+        b = np.asarray(frames).shape[0]
+        k = 2
+        boxes = np.zeros((b, k, 4), np.float32)
+        boxes[:, 0] = [10, 10, 60, 70]
+        valid = np.zeros((b, k), bool)
+        valid[:, 0] = True
+        return PipelineOutput(
+            boxes=jnp.asarray(boxes), scores=jnp.asarray(np.full((b, k), .9)),
+            kps=jnp.asarray(np.zeros((b, k, 5, 2), np.float32)),
+            valid=jnp.asarray(valid),
+            count=jnp.asarray(np.ones(b, np.int32)),
+            embeddings=jnp.asarray(np.zeros((b, k, 512), np.float32)),
+            match_idx=jnp.asarray(np.where(valid, 0, -1).astype(np.int32)),
+            match_sim=jnp.asarray(np.where(valid, 0.8, 0.0).astype(np.float32)))
+
+
+def _make_video(path, n=6, wh=(128, 96)):
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             12.0, wh)
+    rng = np.random.default_rng(0)
+    for _ in range(n):
+        writer.write(rng.integers(0, 255, (wh[1], wh[0], 3), dtype=np.uint8))
+    writer.release()
+
+
+def test_run_end_to_end_headless(tmp_path, monkeypatch):
+    video = tmp_path / "in.mp4"
+    _make_video(video)
+    faces_dir = tmp_path / "faces"
+    faces_dir.mkdir()
+    cv2.imwrite(str(faces_dir / "alice.jpg"),
+                np.full((96, 96, 3), 100, np.uint8))
+
+    stub = _StubPipeline()
+    monkeypatch.setattr(realtime, "FacePipeline",
+                        lambda **kw: stub, raising=False)
+    # realtime imports FacePipeline from ..pipeline inside module scope
+    import scrfd_arcface_facerecognition_tpu.apps.realtime as rt
+    monkeypatch.setattr("scrfd_arcface_facerecognition_tpu.apps.realtime."
+                        "FacePipeline", lambda **kw: stub)
+
+    out_path = tmp_path / "out.mp4"
+    result = rt.run(rt.parse_args([
+        "--source", str(video), "--faces-dir", str(faces_dir),
+        "--output", str(out_path), "--batch", "4"]))
+    assert result["frames"] == 6
+    assert result["targets"] == 1
+    assert stub.names == ["alice"]
+    cap = cv2.VideoCapture(str(out_path))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    cap.release()
+
+
+def test_annotate_batch_draws():
+    stub = _StubPipeline()
+    stub.names = ["alice"]
+    frames = np.zeros((2, 96, 128, 3), np.uint8)
+    out = stub(frames)
+    realtime.annotate_batch(frames, out, stub.names, {"alice": (0, 255, 0)})
+    assert frames.sum() > 0  # something was drawn
+
+
+def test_dualstream_args_and_connect(tmp_path):
+    args = dualstream.parse_args(["--source1", "a.mp4", "--source2", "b.mp4"])
+    assert args.source1 == "a.mp4" and args.reconnect_delay == 2.0
+    with pytest.raises(RuntimeError):
+        dualstream.connect_to_camera(str(tmp_path / "missing.mp4"),
+                                     reconnect_delay=0.01, attempts=2)
