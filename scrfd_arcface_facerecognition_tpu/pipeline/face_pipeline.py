@@ -234,14 +234,34 @@ class FacePipeline:
             b *= 2
         return min(b, cap)
 
+    def _placed(self, frames):
+        """Variables/gallery placement compatible with the input sharding:
+        replicate over the input's mesh when frames are multi-device (DP)."""
+        devices = getattr(frames, "sharding", None)
+        dev_set = getattr(devices, "device_set", None)
+        if not dev_set or len(dev_set) <= 1:
+            return (self.detector.variables, self.embedder.variables,
+                    self._gallery, self._gallery_valid)
+        key = tuple(sorted(d.id for d in dev_set))
+        cached = self._jitted.get(("placement", key))
+        if cached is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(frames.sharding.mesh, PartitionSpec())
+            put = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
+            cached = (put(self.detector.variables), put(self.embedder.variables),
+                      put(self._gallery), put(self._gallery_valid))
+            self._jitted[("placement", key)] = cached
+        return cached
+
     def __call__(self, frames, max_num: int = 0, metric: str = "max",
                  bucketed: bool = True) -> PipelineOutput:
         if not isinstance(frames, jax.Array):
             frames = jnp.asarray(np.asarray(frames))
         if frames.ndim == 3:
             frames = frames[None]
+        det_vars, emb_vars, gallery, gallery_valid = self._placed(frames)
         detect_fn, em_fn = self._fn(tuple(frames.shape[1:3]), max_num, metric)
-        det = detect_fn(self.detector.variables, frames)
+        det = detect_fn(det_vars, frames)
         if bucketed:
             # one scalar sync: real face count -> smallest compiled bucket
             count = int(np.asarray(jnp.sum(det.valid)))
@@ -256,8 +276,7 @@ class FacePipeline:
                     match_idx=jnp.full((b, k), -1, jnp.int32),
                     match_sim=jnp.zeros((b, k), jnp.float32))
             em_fn = self._bucket_fn(bucket)
-        return em_fn(self.embedder.variables, frames, det,
-                     self._gallery, self._gallery_valid)
+        return em_fn(emb_vars, frames, det, gallery, gallery_valid)
 
     def match_names(self, out: PipelineOutput):
         """Host-side: map match_idx -> names ('Unknown' below threshold)."""
