@@ -27,12 +27,18 @@ class Detections(NamedTuple):
     kps: (B, max_det, 5, 2)
     valid: (B, max_det) bool
     count: (B,) int32
+    canvas: (B, 640, 640, 3) uint8 letterbox canvas (reused by the Pallas
+        warp as its large-face pyramid level) — None when not materialized
+    n_warp_fallback: () int32 — how many valid faces exceed the Pallas warp
+        envelope (rotation/scale); None when not computed
     """
     boxes: jnp.ndarray
     scores: jnp.ndarray
     kps: jnp.ndarray
     valid: jnp.ndarray
     count: jnp.ndarray
+    canvas: Optional[jnp.ndarray] = None
+    n_warp_fallback: Optional[jnp.ndarray] = None
 
 
 def decode_outputs(outputs: Dict[str, list], input_size: Tuple[int, int],
@@ -94,8 +100,22 @@ def detect_batch(apply_fn, variables, frames: jnp.ndarray, *,
 
     det_c, kps_c, mask, count = jax.vmap(per_frame)(
         top_boxes, top_scores, top_kps, valid)
+
+    # u8 canvas + Pallas-warp envelope check (one fused byproduct so the
+    # host learns bucket size AND warp path from a single readback)
+    canvas_u8 = jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8)
+    from .. import ops as _ops
+    from ..ops import pallas_warp as _pw
+
+    b, k = mask.shape
+    matrices = _ops.estimate_norm(kps_c.reshape(b * k, 5, 2))
+    wp = _pw.prepare_warp_params(
+        matrices, jnp.repeat(jnp.arange(b, dtype=jnp.int32), k),
+        plan.frame_hw, plan.det_scale)
+    n_fb = jnp.sum(wp.fallback & mask.reshape(-1)).astype(jnp.int32)
     return Detections(boxes=det_c[..., :4], scores=det_c[..., 4],
-                      kps=kps_c, valid=mask, count=count)
+                      kps=kps_c, valid=mask, count=count,
+                      canvas=canvas_u8, n_warp_fallback=n_fb)
 
 
 class Detector:

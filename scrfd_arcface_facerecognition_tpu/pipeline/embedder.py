@@ -37,6 +37,31 @@ def embed_crops(apply_fn, variables, frames: jnp.ndarray, kps_flat: jnp.ndarray,
     return emb * valid_flat[:, None].astype(emb.dtype)
 
 
+def embed_crops_pallas(apply_fn, variables, frames: jnp.ndarray,
+                       canvas_u8: jnp.ndarray, kps_flat: jnp.ndarray,
+                       frame_idx: jnp.ndarray, valid_flat: jnp.ndarray, *,
+                       l2: bool = True, interpret: bool = False) -> jnp.ndarray:
+    """embed_crops with the Pallas multi-pass warp instead of XLA gather.
+
+    Requires every crop within the kernel envelope (the caller routes
+    batches with envelope violations to embed_crops); canvas_u8 is the
+    detect stage's letterbox canvas (large-face pyramid level).
+    """
+    from ..ops import pallas_warp as pw
+
+    matrices = ops.estimate_norm(kps_flat, 112)
+    params = pw.prepare_warp_params(
+        matrices, frame_idx, tuple(frames.shape[1:3]),
+        ops.letterbox_plan(tuple(frames.shape[1:3]), (640, 640)).det_scale)
+    crops = pw.warp_crops_pallas(pw.planarize(frames), pw.planarize(canvas_u8),
+                                 params, interpret=interpret)
+    net_in = ops.normalize_image(crops, ops.ARCFACE_MEAN, ops.ARCFACE_STD)
+    emb = apply_fn(variables, net_in)
+    if l2:
+        emb = ops.l2_normalize(emb)
+    return emb * valid_flat[:, None].astype(emb.dtype)
+
+
 def embed_faces(apply_fn, variables, frames: jnp.ndarray, kps: jnp.ndarray,
                 valid: jnp.ndarray, *, image_size: int = 112,
                 l2: bool = True) -> jnp.ndarray:

@@ -65,7 +65,8 @@ def e2e_forward(det_apply, det_vars, emb_apply, emb_vars, frames, gallery,
 
 def embed_and_match_bucketed(emb_apply, emb_vars, frames, det: Detections,
                              gallery, gallery_valid, *, similarity_thresh,
-                             bucket: int):
+                             bucket: int, use_pallas: bool = False,
+                             interpret: bool = False):
     """Jit-traceable stage 2 with face-count bucketing.
 
     Valid faces are compacted to the front of the flattened (B*K) slate
@@ -82,8 +83,15 @@ def embed_and_match_bucketed(emb_apply, emb_vars, frames, det: Detections,
     valid_sel = flat_valid[sel]
     frame_idx = (sel // k).astype(jnp.int32)
 
-    emb_sel = embed_crops(emb_apply, emb_vars, frames, kps_sel, frame_idx,
-                          valid_sel)                                # (F, 512)
+    if use_pallas:
+        from .embedder import embed_crops_pallas
+
+        emb_sel = embed_crops_pallas(
+            emb_apply, emb_vars, frames, det.canvas, kps_sel, frame_idx,
+            valid_sel, interpret=interpret)                         # (F, 512)
+    else:
+        emb_sel = embed_crops(emb_apply, emb_vars, frames, kps_sel, frame_idx,
+                              valid_sel)                            # (F, 512)
     sims = jnp.dot(emb_sel, gallery.T,
                    precision=jax.lax.Precision.HIGHEST)             # (F, G)
     sims = jnp.where(gallery_valid[None, :], sims, -jnp.inf)
@@ -147,12 +155,18 @@ class FacePipeline:
                  similarity_thresh: float = 0.4,
                  pre_nms: int = 256, max_det: int = 16,
                  gallery_capacity: int = 512,
-                 dtype: Any = jnp.float32, seed: int = 0):
+                 dtype: Any = jnp.float32, seed: int = 0,
+                 use_pallas_warp: Optional[bool] = None):
         self.detector = detector or Detector(
             det_variant, conf_thres=conf_thres, iou_thres=iou_thres,
             pre_nms=pre_nms, max_det=max_det, dtype=dtype, seed=seed)
         self.embedder = embedder or Embedder(rec_variant, dtype=dtype, seed=seed)
         self.similarity_thresh = similarity_thresh
+        # Pallas warp: default on for TPU backends (falls back per batch
+        # when faces exceed the kernel envelope)
+        if use_pallas_warp is None:
+            use_pallas_warp = jax.default_backend() == "tpu"
+        self.use_pallas_warp = use_pallas_warp
         self.pre_nms = pre_nms
         self.max_det = max_det
         self.gallery_capacity = gallery_capacity
@@ -212,15 +226,17 @@ class FacePipeline:
             self._jitted["embed_match"] = jax.jit(em_fn)
         return self._jitted[key], self._jitted["embed_match"]
 
-    def _bucket_fn(self, bucket: int):
-        key = ("bucket", bucket)
+    def _bucket_fn(self, bucket: int, use_pallas: bool = False):
+        key = ("bucket", bucket, use_pallas)
         if key not in self._jitted:
             emb_apply = self.embedder.model.apply
+            interpret = jax.default_backend() != "tpu"
 
             def em_fn(emb_vars, frames, det, gallery, gallery_valid):
                 return embed_and_match_bucketed(
                     emb_apply, emb_vars, frames, det, gallery, gallery_valid,
-                    similarity_thresh=self.similarity_thresh, bucket=bucket)
+                    similarity_thresh=self.similarity_thresh, bucket=bucket,
+                    use_pallas=use_pallas, interpret=interpret)
 
             self._jitted[key] = jax.jit(em_fn)
         return self._jitted[key]
@@ -263,10 +279,17 @@ class FacePipeline:
         detect_fn, em_fn = self._fn(tuple(frames.shape[1:3]), max_num, metric)
         det = detect_fn(det_vars, frames)
         if bucketed:
-            # one scalar sync: real face count -> smallest compiled bucket
-            count = int(np.asarray(jnp.sum(det.valid)))
+            # one readback: real face count + warp-envelope violations ->
+            # smallest compiled bucket and pallas-vs-XLA warp path
+            counts = np.asarray(jnp.stack([
+                jnp.sum(det.valid).astype(jnp.int32),
+                (det.n_warp_fallback if det.n_warp_fallback is not None
+                 else jnp.int32(1))]))
+            count, n_fallback = int(counts[0]), int(counts[1])
             cap = det.valid.shape[0] * det.valid.shape[1]
             bucket = self._round_bucket(count, cap)
+            use_pallas = (self.use_pallas_warp and n_fallback == 0
+                          and det.canvas is not None)
             if bucket == 0:
                 b, k = det.valid.shape
                 zeros = jnp.zeros((b, k, 512), jnp.float32)
@@ -275,7 +298,7 @@ class FacePipeline:
                     valid=det.valid, count=det.count, embeddings=zeros,
                     match_idx=jnp.full((b, k), -1, jnp.int32),
                     match_sim=jnp.zeros((b, k), jnp.float32))
-            em_fn = self._bucket_fn(bucket)
+            em_fn = self._bucket_fn(bucket, use_pallas)
         return em_fn(emb_vars, frames, det, gallery, gallery_valid)
 
     def match_names(self, out: PipelineOutput):

@@ -1,0 +1,117 @@
+"""Pallas warp kernel vs the exact XLA warp (interpret mode on CPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from scrfd_arcface_facerecognition_tpu import ops
+from scrfd_arcface_facerecognition_tpu.ops import pallas_warp as pw
+from scrfd_arcface_facerecognition_tpu.ops.warp import warp_affine_flat
+
+
+def _matrices(specs):
+    """specs: list of (scale, angle_rad, cx, cy) -> (F, 2, 3) src->dst M."""
+    ms = []
+    for s, ang, cx, cy in specs:
+        # dst->src: sigma*R(phi) with center mapping; build src->dst = inverse
+        sigma = 1.0 / s
+        rot = np.array([[np.cos(ang), -np.sin(ang)],
+                        [np.sin(ang), np.cos(ang)]]) / sigma
+        t = np.array([55.5, 55.5]) - rot @ np.array([cx, cy])
+        ms.append(np.concatenate([rot, t[:, None]], axis=1))
+    return jnp.asarray(np.stack(ms).astype(np.float32))
+
+
+def _run(frames, matrices, frame_idx):
+    fh, fw = frames.shape[1:3]
+    plan = ops.letterbox_plan((fh, fw), (640, 640))
+    params = pw.prepare_warp_params(matrices, jnp.asarray(frame_idx),
+                                    (fh, fw), plan.det_scale)
+    planar = pw.planarize(frames)
+    canvas = jnp.clip(jnp.round(ops.letterbox(frames, plan)), 0, 255
+                      ).astype(jnp.uint8)
+    canvas_planar = pw.planarize(canvas)
+    crops = pw.warp_crops_pallas(planar, canvas_planar, params,
+                                 interpret=True)
+    return crops, params
+
+
+def _xla_reference(frames, matrices, frame_idx):
+    return warp_affine_flat(frames, matrices, jnp.asarray(frame_idx))
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(0)
+    # smooth-ish content: resampling comparisons are meaningful
+    base = rng.integers(0, 255, (2, 68, 120, 3)).astype(np.float32)
+    import cv2
+    big = np.stack([cv2.resize(b, (960, 540)) for b in base])
+    return jnp.asarray(np.clip(big, 0, 255).astype(np.uint8))
+
+
+def test_pure_scale_matches_exact(frames):
+    """No rotation, level-0 crops: multi-pass == direct bilinear exactly
+    (both are separable exact interpolation)."""
+    specs = [(0.8, 0.0, 300.0, 270.0), (1.6, 0.0, 500.0, 200.0),
+             (0.7, 0.0, 640.0, 300.0)]
+    m = _matrices(specs)
+    fidx = np.array([0, 1, 1], np.int32)
+    got, params = _run(frames, m, fidx)
+    assert not np.asarray(params.fallback).any()
+    assert (np.asarray(params.iparams)[:, 1] == 0).all()  # all level 0
+    want = np.asarray(_xla_reference(frames, m, fidx))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2)
+
+
+def test_small_rotation_close_to_exact(frames):
+    specs = [(0.8, 0.1, 300.0, 270.0), (1.2, -0.15, 500.0, 250.0)]
+    m = _matrices(specs)
+    fidx = np.array([0, 1], np.int32)
+    got, params = _run(frames, m, fidx)
+    assert not np.asarray(params.fallback).any()
+    want = np.asarray(_xla_reference(frames, m, fidx))
+    diff = np.abs(np.asarray(got) - want)
+    # multi-pass resampling: small interior differences only
+    assert np.median(diff) < 1.0
+    assert np.mean(diff) < 2.0
+
+
+def test_border_zero(frames):
+    """Crop sampling beyond the frame edge must be zero outside."""
+    specs = [(1.0, 0.0, 20.0, 20.0)]  # near top-left corner
+    m = _matrices(specs)
+    got, params = _run(frames, m, np.array([0], np.int32))
+    want = np.asarray(_xla_reference(frames, m, np.array([0], np.int32)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2)
+    assert np.asarray(got)[0, 0, 0].max() == 0.0  # beyond-edge corner = 0
+
+
+def test_large_face_uses_canvas_level(frames):
+    specs = [(0.4, 0.0, 480.0, 270.0)]  # ~280px face -> level 1 (det 2/3)
+    m = _matrices(specs)
+    got, params = _run(frames, m, np.array([0], np.int32))
+    assert int(np.asarray(params.iparams)[0, 1]) == 1
+    assert not np.asarray(params.fallback).any()
+    want = np.asarray(_xla_reference(frames, m, np.array([0], np.int32)))
+    # canvas level resamples from the 1/3-scale letterbox: allow loose tol
+    diff = np.abs(np.asarray(got) - want)
+    assert np.median(diff) < 4.0
+
+
+def test_fallback_flags():
+    m = _matrices([(1.0, 0.6, 300.0, 300.0),    # 34 deg rotation -> fallback
+                   (0.05, 0.0, 480.0, 270.0)])  # gigantic face -> fallback
+    params = pw.prepare_warp_params(m, jnp.asarray(np.array([0, 0], np.int32)),
+                                    (540, 960), 2.0 / 3)
+    assert np.asarray(params.fallback).all()
+
+
+def test_order_restoration(frames):
+    """Crops from interleaved frames come back in the caller's order."""
+    specs = [(1.0, 0.0, 300.0, 270.0)] * 4
+    m = _matrices(specs)
+    fidx = np.array([1, 0, 1, 0], np.int32)
+    got, _ = _run(frames, m, fidx)
+    want = np.asarray(_xla_reference(frames, m, fidx))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2)
