@@ -38,10 +38,14 @@ def main():
     max_det = int(os.environ.get("BENCH_MAX_DET", "16"))
     max_num = int(os.environ.get("BENCH_MAX_NUM", "10"))  # BASELINE config 3
 
+    warp_mode = os.environ.get("BENCH_WARP", "force")  # random weights
+    # produce degenerate landmarks that would always trip the envelope
+    # fallback; "force" measures the production (pallas) path's true cost.
     pipe = FacePipeline(det_variant="det_10g", rec_variant="w600k_r50",
                         conf_thres=0.5, max_det=max_det, pre_nms=256,
                         gallery_capacity=max(gallery_size, 128),
-                        dtype=jnp.bfloat16, seed=0)
+                        dtype=jnp.bfloat16, seed=0,
+                        use_pallas_warp=warp_mode)
     rng = np.random.default_rng(0)
     pipe.set_gallery(rng.normal(size=(gallery_size, 512)).astype(np.float32),
                      [f"p{i}" for i in range(gallery_size)])

@@ -177,24 +177,33 @@ class GalleryStore:
     # ------------------------------------------------------- persistence
 
     def snapshot(self, path: str) -> None:
-        """Write an atomic gallery checkpoint (embeddings + metadata)."""
+        """Write an atomic gallery checkpoint.
+
+        Embeddings + ids go through the native CRC-verified binary store
+        (runtime/native.py gs_write); payload metadata rides alongside as
+        <path>.meta.json (atomic replace).
+        """
+        from ..runtime.native import snapshot_write
+
         mat, ids = self.dense_matrix()
-        tmp = path + ".tmp"
-        np.savez(tmp if tmp.endswith(".npz") else tmp,
-                 embeddings=mat, ids=np.asarray(ids, np.int64),
-                 payloads=json.dumps({str(i): self._payloads.get(i, {})
-                                      for i in ids}),
-                 vector_size=self.vector_size)
-        os.replace(tmp + (".npz" if not tmp.endswith(".npz") else ""), path)
+        snapshot_write(path, mat, np.asarray(ids, np.int64))
+        meta_tmp = path + ".meta.json.tmp"
+        with open(meta_tmp, "w") as f:
+            json.dump({str(i): self._payloads.get(i, {}) for i in ids}, f)
+        os.replace(meta_tmp, path + ".meta.json")
 
     @classmethod
     def restore(cls, path: str, capacity: Optional[int] = None) -> "GalleryStore":
-        data = np.load(path, allow_pickle=False)
-        ids = data["ids"]
-        vecs = data["embeddings"]
-        payloads = json.loads(str(data["payloads"]))
+        from ..runtime.native import snapshot_read
+
+        vecs, ids = snapshot_read(path)
+        payloads = {}
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                payloads = json.load(f)
         cap = capacity or max(1024, 2 * len(ids))
-        store = cls(vector_size=int(data["vector_size"]), capacity=cap)
+        store = cls(vector_size=int(vecs.shape[1]) if len(vecs) else 512,
+                    capacity=cap)
         for pid, vec in zip(ids, vecs):
             store.add_embedding(int(pid), vec, payloads.get(str(int(pid)), {}))
         return store

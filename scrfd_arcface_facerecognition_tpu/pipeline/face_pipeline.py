@@ -162,11 +162,19 @@ class FacePipeline:
             pre_nms=pre_nms, max_det=max_det, dtype=dtype, seed=seed)
         self.embedder = embedder or Embedder(rec_variant, dtype=dtype, seed=seed)
         self.similarity_thresh = similarity_thresh
-        # Pallas warp: default on for TPU backends (falls back per batch
-        # when faces exceed the kernel envelope)
-        if use_pallas_warp is None:
-            use_pallas_warp = jax.default_backend() == "tpu"
-        self.use_pallas_warp = use_pallas_warp
+        # Pallas warp policy: None/"auto" -> on for TPU, with per-batch
+        # fallback to the XLA warp when any face exceeds the kernel envelope
+        # (>15deg roll / >2x-per-level scale); True/"force" -> always pallas
+        # (out-of-envelope faces degrade instead of falling back);
+        # False/"off" -> XLA warp only.
+        if use_pallas_warp is None or use_pallas_warp == "auto":
+            self.pallas_policy = ("auto" if jax.default_backend() == "tpu"
+                                  else "off")
+        elif use_pallas_warp in (True, "force"):
+            self.pallas_policy = "force"
+        else:
+            self.pallas_policy = "off"
+        self.use_pallas_warp = self.pallas_policy != "off"
         self.pre_nms = pre_nms
         self.max_det = max_det
         self.gallery_capacity = gallery_capacity
@@ -288,8 +296,10 @@ class FacePipeline:
             count, n_fallback = int(counts[0]), int(counts[1])
             cap = det.valid.shape[0] * det.valid.shape[1]
             bucket = self._round_bucket(count, cap)
-            use_pallas = (self.use_pallas_warp and n_fallback == 0
-                          and det.canvas is not None)
+            use_pallas = (det.canvas is not None
+                          and (self.pallas_policy == "force"
+                               or (self.pallas_policy == "auto"
+                                   and n_fallback == 0)))
             if bucket == 0:
                 b, k = det.valid.shape
                 zeros = jnp.zeros((b, k, 512), jnp.float32)

@@ -7,6 +7,7 @@ stability fallback s*(cos(theta_y) - m*sin(m)) when theta_y + m > pi.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -137,6 +138,34 @@ class ArcFaceTrainer:
             head_w=params["head_w"], opt_state=opt_state,
             step=state.step + 1)
         return new_state, loss
+
+    # ------------------------------------------------------- checkpointing
+
+    def save_checkpoint(self, state: TrainState, path: str) -> None:
+        """Orbax checkpoint of the full train state (params + opt + stats)."""
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckpt:
+            ckpt.save(os.path.abspath(path),
+                      jax.tree.map(np.asarray, state._asdict()))
+
+    def restore_checkpoint(self, path: str) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckpt:
+            data = ckpt.restore(os.path.abspath(path))
+        state = TrainState(backbone=data["backbone"], head_w=data["head_w"],
+                           opt_state=jax.tree.map(
+                               lambda x: x, data["opt_state"]),
+                           step=jnp.asarray(data["step"]))
+        # opt_state trees restore as raw dicts; rebuild against a fresh init
+        fresh = self.optimizer.init({"backbone": state.backbone["params"],
+                                     "head_w": state.head_w})
+        flat_saved = jax.tree.leaves(data["opt_state"])
+        treedef = jax.tree.structure(fresh)
+        state = state._replace(
+            opt_state=jax.tree.unflatten(treedef, flat_saved))
+        return self.shard_state(state)
 
     def train_step(self, state: TrainState, images: jnp.ndarray,
                    labels: jnp.ndarray) -> Tuple[TrainState, jnp.ndarray]:

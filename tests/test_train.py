@@ -93,3 +93,23 @@ def test_head_w_is_class_sharded():
     state = trainer.init_state(jax.random.PRNGKey(0))
     from jax.sharding import PartitionSpec as P
     assert state.head_w.sharding.spec == P(None, "model")
+
+
+def test_checkpoint_save_restore(tmp_path):
+    mesh = make_mesh((2, 4), ("data", "model"))
+    trainer = _tiny_trainer(mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.normal(size=(8, 112, 112, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 16, size=8).astype(np.int32))
+    state, _ = trainer.train_step(state, images, labels)
+
+    path = str(tmp_path / "ckpt")
+    trainer.save_checkpoint(state, path)
+    restored = trainer.restore_checkpoint(path)
+    assert int(restored.step) == 1
+    np.testing.assert_allclose(np.asarray(restored.head_w),
+                               np.asarray(state.head_w), atol=1e-6)
+    # training continues from the restored state
+    restored2, loss = trainer.train_step(restored, images, labels)
+    assert np.isfinite(float(loss)) and int(restored2.step) == 2
