@@ -40,23 +40,7 @@ from .verification import FaceComparison
 
 logger = logging.getLogger(__name__)
 
-_INDEX_HTML = """<!DOCTYPE html>
-<html><head><title>Smart Face Recognition (TPU)</title>
-<style>body{font-family:sans-serif;margin:2em;background:#fafafa}
-.tile{display:inline-block;border:1px solid #ccc;border-radius:8px;
-padding:1em 2em;margin:.5em;background:#fff}
-h1{color:#333}</style></head>
-<body><h1>Smart Face Recognition — TPU-native</h1>
-<div id="stats"></div>
-<script>
-fetch('/api/stats').then(r=>r.json()).then(s=>{
-  document.getElementById('stats').innerHTML = Object.entries(s)
-    .map(([k,v])=>`<div class="tile"><b>${v}</b><br>${k}</div>`).join('');
-});
-</script>
-<p>Endpoints: /api/stats, /api/person-groups, /api/low-similarity-images,
-/api/process-visits (POST), /api/merge-duplicates (POST), ...</p>
-</body></html>"""
+from .webui import INDEX_HTML as _INDEX_HTML
 
 
 class WebApp:

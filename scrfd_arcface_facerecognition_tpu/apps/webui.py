@@ -1,0 +1,202 @@
+"""Single-page web UI served at '/'.
+
+Functional equivalent of the reference's templates/index.html surface
+(SURVEY.md §2.1): stats tiles, visit-JSON paste form, API fetch form, tabs
+for clustered persons / low-similarity images / face comparison, and the
+merge-duplicates / clear-database / clear-cache actions — written fresh
+against our /api endpoints.
+"""
+
+INDEX_HTML = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>Smart Face Recognition — TPU</title>
+<style>
+  :root { --bg:#f6f7f9; --card:#fff; --line:#e2e5ea; --ink:#1c2430;
+          --dim:#687180; --acc:#2563eb; --bad:#dc2626; --ok:#16a34a; }
+  * { box-sizing:border-box; }
+  body { font-family:system-ui,sans-serif; margin:0; background:var(--bg);
+         color:var(--ink); }
+  header { background:var(--card); border-bottom:1px solid var(--line);
+           padding:14px 28px; display:flex; align-items:baseline; gap:14px; }
+  header h1 { font-size:18px; margin:0; }
+  header span { color:var(--dim); font-size:13px; }
+  main { max-width:1100px; margin:0 auto; padding:20px 28px; }
+  .tiles { display:flex; gap:12px; flex-wrap:wrap; margin-bottom:18px; }
+  .tile { background:var(--card); border:1px solid var(--line);
+          border-radius:10px; padding:12px 20px; min-width:130px; }
+  .tile b { display:block; font-size:22px; }
+  .tile span { color:var(--dim); font-size:12px; }
+  .row { display:flex; gap:16px; flex-wrap:wrap; margin-bottom:18px; }
+  .card { background:var(--card); border:1px solid var(--line);
+          border-radius:10px; padding:16px; flex:1; min-width:320px; }
+  .card h3 { margin:0 0 10px; font-size:14px; }
+  textarea { width:100%; height:90px; font-family:monospace; font-size:12px;
+             border:1px solid var(--line); border-radius:6px; padding:8px; }
+  input { border:1px solid var(--line); border-radius:6px; padding:6px 8px;
+          margin:2px 4px 2px 0; }
+  button { background:var(--acc); color:#fff; border:0; border-radius:6px;
+           padding:7px 14px; cursor:pointer; font-size:13px; margin:4px 6px 0 0; }
+  button.warn { background:var(--bad); }
+  button.plain { background:#64748b; }
+  .tabs { display:flex; gap:4px; margin-bottom:0; }
+  .tabs div { padding:8px 16px; border:1px solid var(--line);
+              border-bottom:0; border-radius:8px 8px 0 0; cursor:pointer;
+              background:#eef0f4; font-size:13px; }
+  .tabs div.active { background:var(--card); font-weight:600; }
+  #tabbody { background:var(--card); border:1px solid var(--line);
+             border-radius:0 10px 10px 10px; padding:16px; min-height:180px; }
+  table { border-collapse:collapse; width:100%; font-size:13px; }
+  th, td { text-align:left; border-bottom:1px solid var(--line);
+           padding:6px 8px; }
+  th { color:var(--dim); font-weight:600; }
+  #status { margin:10px 0; font-size:13px; color:var(--dim); }
+  .pill { display:inline-block; padding:1px 8px; border-radius:10px;
+          font-size:12px; }
+  .pill.ok { background:#dcfce7; color:var(--ok); }
+  .pill.bad { background:#fee2e2; color:var(--bad); }
+</style>
+</head>
+<body>
+<header><h1>Smart Face Recognition</h1>
+<span>TPU-native SCRFD + ArcFace</span></header>
+<main>
+  <div class="tiles" id="tiles"></div>
+
+  <div class="row">
+    <div class="card">
+      <h3>Process visits (paste JSON)</h3>
+      <textarea id="visitjson" placeholder='{"visits": [{"id": 1, "image": "http://...", ...}]}'></textarea>
+      <label>max <input id="maxvisits" type="number" value="500" style="width:80px"></label>
+      <label><input id="saveimgs" type="checkbox" checked> save images</label>
+      <label><input id="clearex" type="checkbox"> clear existing</label>
+      <br><button onclick="processVisits()">Process</button>
+    </div>
+    <div class="card">
+      <h3>Actions</h3>
+      <label>merge threshold <input id="mergeth" type="number" step="0.05" value="0.8" style="width:70px"></label>
+      <button onclick="mergeDuplicates()">Merge duplicates</button><br>
+      <button class="plain" onclick="clearCache()">Clear image cache</button>
+      <button class="warn" onclick="clearDb()">Clear database</button>
+    </div>
+  </div>
+
+  <div id="status"></div>
+
+  <div class="tabs" id="tabs">
+    <div data-tab="persons" class="active" onclick="showTab('persons')">Clustered persons</div>
+    <div data-tab="lowsim" onclick="showTab('lowsim')">Low similarity</div>
+    <div data-tab="compare" onclick="showTab('compare')">Face comparison</div>
+  </div>
+  <div id="tabbody"></div>
+</main>
+<script>
+const $ = (id) => document.getElementById(id);
+const status = (msg, ok=true) =>
+  $('status').innerHTML = `<span class="pill ${ok ? 'ok' : 'bad'}">${msg}</span>`;
+
+async function api(path, opts) {
+  const r = await fetch(path, opts);
+  const data = await r.json().catch(() => ({}));
+  if (!r.ok) throw new Error(data.error || r.status);
+  return data;
+}
+
+async function loadStats() {
+  const s = await api('/api/stats');
+  const names = {total_persons:'persons', total_visits:'visits',
+                 total_images:'images', low_similarity_count:'low similarity',
+                 recent_activity:'recent (24h)'};
+  $('tiles').innerHTML = Object.entries(names).map(
+    ([k, label]) => `<div class="tile"><b>${s[k] ?? 0}</b><span>${label}</span></div>`
+  ).join('');
+}
+
+let activeTab = 'persons';
+function showTab(name) {
+  activeTab = name;
+  document.querySelectorAll('#tabs div').forEach(
+    d => d.classList.toggle('active', d.dataset.tab === name));
+  renderTab();
+}
+
+async function renderTab() {
+  const el = $('tabbody');
+  el.innerHTML = 'Loading…';
+  try {
+    if (activeTab === 'persons') {
+      const { groups } = await api('/api/person-groups');
+      el.innerHTML = groups.length ? '<table><tr><th>id</th><th>name</th>' +
+        '<th>visits</th><th>matches</th><th>quality</th><th>last seen</th></tr>' +
+        groups.map(g => `<tr><td>${g.person_id}</td><td>${g.name}</td>` +
+          `<td>${g.visit_count}</td><td>${g.match_count}</td>` +
+          `<td>${(g.face_quality ?? 0).toFixed(2)}</td><td>${g.last_seen ?? ''}</td></tr>`
+        ).join('') + '</table>' : 'No persons yet.';
+    } else if (activeTab === 'lowsim') {
+      const { images } = await api('/api/low-similarity-images');
+      el.innerHTML = images.length ? '<table><tr><th>visit</th><th>customer</th>' +
+        '<th>similarity %</th><th>reason</th><th>when</th></tr>' +
+        images.map(i => `<tr><td>${i.visit_id}</td><td>${i.customer_id}</td>` +
+          `<td>${(i.similarity ?? 0).toFixed(1)}</td><td>${i.reason}</td>` +
+          `<td>${i.processed_at ?? ''}</td></tr>`).join('') + '</table>'
+        : 'No low-similarity images.';
+    } else {
+      el.innerHTML = `<p>POST records to
+        <code>/api/process-face-comparisons-from-api</code> — results are
+        written as <code>face_comparison_results_*.json</code>.</p>
+        <textarea id="cmpjson" placeholder='[{"id": "v1", "image": "http://...", "refImage": "http://...", "isConverted": true}]'></textarea>
+        <br><button onclick="runComparisons()">Run comparisons</button>
+        <div id="cmpout"></div>`;
+    }
+  } catch (e) { el.innerHTML = 'Error: ' + e.message; }
+}
+
+async function processVisits() {
+  try {
+    const body = JSON.parse($('visitjson').value || '{}');
+    body.max_visits = parseInt($('maxvisits').value);
+    body.save_images = $('saveimgs').checked;
+    body.clear_existing = $('clearex').checked;
+    status('Processing…');
+    const r = await api('/api/process-visits', {method:'POST',
+      headers:{'Content-Type':'application/json'}, body: JSON.stringify(body)});
+    status('Done: ' + JSON.stringify(r.results));
+    loadStats(); renderTab();
+  } catch (e) { status('Failed: ' + e.message, false); }
+}
+
+async function runComparisons() {
+  try {
+    const records = JSON.parse($('cmpjson').value || '[]');
+    const r = await api('/api/process-face-comparisons-from-api',
+      {method:'POST', headers:{'Content-Type':'application/json'},
+       body: JSON.stringify({records})});
+    $('cmpout').innerHTML = '<pre>' + JSON.stringify(r.summary, null, 2) +
+      '\\naccuracy vs API: ' + r.accuracy_vs_api + '%</pre>';
+  } catch (e) { $('cmpout').innerHTML = 'Failed: ' + e.message; }
+}
+
+async function mergeDuplicates() {
+  try {
+    const r = await api('/api/merge-duplicates', {method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body: JSON.stringify({threshold: parseFloat($('mergeth').value)})});
+    status(r.message); loadStats(); renderTab();
+  } catch (e) { status('Failed: ' + e.message, false); }
+}
+async function clearDb() {
+  if (!confirm('Clear ALL persons/visits?')) return;
+  const r = await api('/api/clear-database', {method:'POST'});
+  status(r.message); loadStats(); renderTab();
+}
+async function clearCache() {
+  const r = await api('/api/clear-cache', {method:'POST'});
+  status(r.message);
+}
+
+loadStats(); renderTab();
+setInterval(loadStats, 15000);
+</script>
+</body>
+</html>"""
