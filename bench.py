@@ -63,14 +63,20 @@ def main():
     out = pipe(frames, max_num=max_num)
     sync(out)
 
+    # warm the streaming path too
+    for o in pipe.process_stream([frames] * 2, max_num=max_num):
+        sync(o)
+
     best_fps = 0.0
     for _ in range(rounds):
         t0 = time.perf_counter()
-        outs = [pipe(frames, max_num=max_num) for _ in range(pipeline_depth)]
-        for o in outs:
-            sync(o)
+        n = 0
+        for o in pipe.process_stream([frames] * pipeline_depth,
+                                     max_num=max_num):
+            n += o.boxes.shape[0]
+        sync(o)
         dt = time.perf_counter() - t0
-        best_fps = max(best_fps, batch * pipeline_depth / dt)
+        best_fps = max(best_fps, n / dt)
 
     print(json.dumps({
         "metric": "e2e_1080p_frames_per_sec_per_chip "

@@ -143,8 +143,15 @@ def run(params: argparse.Namespace) -> dict:
     reader = BatchedFrameReader(cap, batch=params.batch)
     n_frames = 0
     try:
-        for batch in reader:
-            out = pipeline(jnp.asarray(batch), max_num=params.max_num)
+        # tee the reader: process_stream runs one batch ahead (overlapping
+        # device compute with the bucketing readback); drawing consumes the
+        # same batches in order.
+        import itertools
+
+        feed, draw_feed = itertools.tee(iter(reader))
+        stream = pipeline.process_stream(
+            (jnp.asarray(b) for b in feed), max_num=params.max_num)
+        for batch, out in zip(draw_feed, stream):
             annotate_batch(batch, out, pipeline.names, colors)
             for frame in batch:
                 writer.write(frame)

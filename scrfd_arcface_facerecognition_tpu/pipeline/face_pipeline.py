@@ -311,6 +311,55 @@ class FacePipeline:
             em_fn = self._bucket_fn(bucket, use_pallas)
         return em_fn(emb_vars, frames, det, gallery, gallery_valid)
 
+    def process_stream(self, frames_iter, max_num: int = 0,
+                       metric: str = "max"):
+        """Pipelined streaming: yields PipelineOutput per input batch.
+
+        Keeps one batch in flight: batch i+1's detect program is dispatched
+        BEFORE batch i's face-count readback, so the host->device round-trip
+        (the one sync per batch the bucketing needs) overlaps device compute
+        instead of serializing with it.
+        """
+        pending = None  # (frames, det, placed)
+        for frames in frames_iter:
+            if not isinstance(frames, jax.Array):
+                frames = jnp.asarray(np.asarray(frames))
+            if frames.ndim == 3:
+                frames = frames[None]
+            placed = self._placed(frames)
+            detect_fn, _ = self._fn(tuple(frames.shape[1:3]), max_num, metric)
+            det = detect_fn(placed[0], frames)
+            if pending is not None:
+                yield self._finish(*pending)
+            pending = (frames, det, placed)
+        if pending is not None:
+            yield self._finish(*pending)
+
+    def _finish(self, frames, det, placed) -> PipelineOutput:
+        """Stage 2 for an already-dispatched detect (bucketed)."""
+        _, emb_vars, gallery, gallery_valid = placed
+        counts = np.asarray(jnp.stack([
+            jnp.sum(det.valid).astype(jnp.int32),
+            (det.n_warp_fallback if det.n_warp_fallback is not None
+             else jnp.int32(1))]))
+        count, n_fallback = int(counts[0]), int(counts[1])
+        cap = det.valid.shape[0] * det.valid.shape[1]
+        bucket = self._round_bucket(count, cap)
+        if bucket == 0:
+            b, k = det.valid.shape
+            return PipelineOutput(
+                boxes=det.boxes, scores=det.scores, kps=det.kps,
+                valid=det.valid, count=det.count,
+                embeddings=jnp.zeros((b, k, 512), jnp.float32),
+                match_idx=jnp.full((b, k), -1, jnp.int32),
+                match_sim=jnp.zeros((b, k), jnp.float32))
+        use_pallas = (det.canvas is not None
+                      and (self.pallas_policy == "force"
+                           or (self.pallas_policy == "auto"
+                               and n_fallback == 0)))
+        em_fn = self._bucket_fn(bucket, use_pallas)
+        return em_fn(emb_vars, frames, det, gallery, gallery_valid)
+
     def match_names(self, out: PipelineOutput):
         """Host-side: map match_idx -> names ('Unknown' below threshold)."""
         idx = np.asarray(out.match_idx)

@@ -54,6 +54,10 @@ class _StubPipeline:
     def set_gallery(self, embs, names):
         self.names = list(names)
 
+    def process_stream(self, frames_iter, max_num=0, metric="max"):
+        for frames in frames_iter:
+            yield self(frames, max_num=max_num, metric=metric)
+
     def __call__(self, frames, max_num=0, metric="max"):
         import jax.numpy as jnp
         b = np.asarray(frames).shape[0]

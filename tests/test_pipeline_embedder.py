@@ -128,3 +128,22 @@ def test_bucketed_zero_faces():
     assert int(np.asarray(out.count).sum()) == 0
     assert (np.asarray(out.match_idx) == -1).all()
     assert (np.asarray(out.embeddings) == 0).all()
+
+
+def test_process_stream_matches_call():
+    pipe = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
+                        conf_thres=0.0, pre_nms=32, max_det=4,
+                        gallery_capacity=8, seed=0)
+    rng = np.random.default_rng(9)
+    g = rng.normal(size=(3, 512)).astype(np.float32)
+    pipe.set_gallery(g, ["a", "b", "c"])
+    batches = [rng.integers(0, 255, size=(2, 96, 128, 3), dtype=np.uint8)
+               for _ in range(3)]
+    stream_outs = list(pipe.process_stream(iter(batches), max_num=2))
+    assert len(stream_outs) == 3
+    for frames, got in zip(batches, stream_outs):
+        want = pipe(jnp.asarray(frames), max_num=2)
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(want.valid))
+        np.testing.assert_allclose(np.asarray(got.embeddings),
+                                   np.asarray(want.embeddings), atol=2e-5)
