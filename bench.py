@@ -63,10 +63,15 @@ def main():
     out = pipe(frames, max_num=max_num)
     sync(out)
 
+    trace_dir = os.environ.get("BENCH_TRACE")  # jax.profiler trace output
     # warm the streaming path too
     for o in pipe.process_stream([frames] * 2, max_num=max_num):
         sync(o)
 
+    if trace_dir:
+        import jax
+
+        jax.profiler.start_trace(trace_dir)
     best_fps = 0.0
     for _ in range(rounds):
         t0 = time.perf_counter()
@@ -77,6 +82,8 @@ def main():
         sync(o)
         dt = time.perf_counter() - t0
         best_fps = max(best_fps, n / dt)
+    if trace_dir:
+        jax.profiler.stop_trace()
 
     print(json.dumps({
         "metric": "e2e_1080p_frames_per_sec_per_chip "

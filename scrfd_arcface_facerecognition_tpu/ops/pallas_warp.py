@@ -47,11 +47,13 @@ CQ = (Q - 1) / 2.0   # canvas center
 C0 = (OUT - 1) / 2.0  # crop center (55.5)
 LANE_OFF = int(CQ - C0 + 0.5)  # 40: final lane extraction offset
 
-BAND_SRC = 64        # pass-1 band (u8 source, 32-aligned starts)
-BAND_SCALE = 40      # pass-2 band (f32, 8-aligned)
-BAND_HX = 48         # shear-x band: |u|*Q + G + align + 4
-BAND_VY = 64         # shear-y band: |v|*Q + G + align + 4
-PHI_MAX = 0.26       # |phi| <= ~15 deg  (v = sin(phi) <= 0.26)
+# Band coverage requirement per pass: alpha*(G-1) + |beta|*(Q-1) + align
+# slack (align-1 + floor slack 1) + 2 interp taps <= BAND.
+BAND_SRC = 64        # pass-1 band (u8 source, 32-aligned): sigma*7+35 <= 64
+BAND_SCALE = 40      # pass-2 band (f32, 8-aligned): sigma*7+10 <= 40
+BAND_HX = 48         # shear-x: |u|*191 + 17 <= 48 -> |u| <= 0.162
+BAND_VY = 72         # shear-y: |v|*191 + 17 <= 72 -> |v| <= 0.287
+PHI_MAX = 0.24       # |phi| <= ~13.9 deg (v=sin(phi)<=0.24, u=tan(phi/2)<=0.122)
 # The scale passes sample sigma*CQ columns either side of the crop center;
 # the 128-aligned window must cover it: 2*sigma*CQ + 132 <= PW.
 SIGMA_MAX = (PW - 136) / (2 * CQ)   # ~1.97 per level

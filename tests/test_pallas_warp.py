@@ -115,3 +115,21 @@ def test_order_restoration(frames):
     got, _ = _run(frames, m, fidx)
     want = np.asarray(_xla_reference(frames, m, fidx))
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-2)
+
+
+def test_rotation_at_envelope_edge(frames):
+    """Rotation just inside PHI_MAX must stay band-covered (no dropped
+    taps -> bounded deviation from the exact warp)."""
+    ang = 0.23  # sin = 0.228 < PHI_MAX
+    specs = [(1.0, ang, 400.0, 270.0), (1.0, -ang, 500.0, 250.0)]
+    m = _matrices(specs)
+    fidx = np.array([0, 1], np.int32)
+    got, params = _run(frames, m, fidx)
+    assert not np.asarray(params.fallback).any()
+    want = np.asarray(_xla_reference(frames, m, fidx))
+    diff = np.abs(np.asarray(got) - want)
+    # dropped band taps would zero whole regions -> huge median
+    assert np.median(diff) < 2.0
+    # interior must be populated (no zeroed stripes)
+    interior = np.asarray(got)[:, 20:92, 20:92]
+    assert (np.abs(interior).mean(axis=(1, 2, 3)) > 10).all()
