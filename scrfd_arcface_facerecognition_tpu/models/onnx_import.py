@@ -154,11 +154,19 @@ def import_into_variables(variables: Dict[str, Any], graph: OnnxGraph,
                 fail(f"model has more convs than graph at {mod_path}")
             src = ex.convs[conv_i]
             conv_i += 1
-            if tuple(src["kernel"].shape) != tuple(leaves["kernel"].shape):
+            kernel = src["kernel"]
+            # space-to-depth stem: the graph's (3, 3, 3, C) stride-2 stem
+            # maps onto the model's (2, 2, 12, C) s2d conv exactly.
+            if (tuple(leaves["kernel"].shape[:3]) == (2, 2, 12)
+                    and tuple(kernel.shape[:3]) == (3, 3, 3)):
+                from .scrfd import stem_kernel_to_s2d
+
+                kernel = stem_kernel_to_s2d(kernel)
+            if tuple(kernel.shape) != tuple(leaves["kernel"].shape):
                 fail(f"conv shape mismatch at {'/'.join(mod_path)}: "
-                     f"onnx {src['kernel'].shape} vs model "
+                     f"onnx {kernel.shape} vs model "
                      f"{leaves['kernel'].shape}")
-            new_params[mod_path + ("kernel",)] = src["kernel"]
+            new_params[mod_path + ("kernel",)] = kernel
             if "bias" in leaves:
                 bias = src.get("bias", np.zeros(leaves["bias"].shape, np.float32))
                 new_params[mod_path + ("bias",)] = bias

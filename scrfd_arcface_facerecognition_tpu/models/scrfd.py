@@ -41,6 +41,11 @@ class SCRFDConfig:
     strides: Sequence[int] = (8, 16, 32)
     num_anchors: int = 2
     num_kps: int = 5
+    # Space-to-depth stem: the (H, W, 3) input pads its 3-channel minor dim
+    # 42x in the TPU conv layout, making the first conv bandwidth-bound
+    # (~44% of the whole forward). s2d repacks to (H/2, W/2, 12) and an
+    # exactly-equivalent 2x2 stem conv (see s2d_input/stem_kernel_to_s2d).
+    s2d_stem: bool = False
 
 
 SCRFD_CONFIGS = {
@@ -81,6 +86,30 @@ class ResBlock(nn.Module):
         return nn.relu(out + identity)
 
 
+def s2d_input(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, H/2, W/2, 12); channel packing dy*6 + dx*3 + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def stem_kernel_to_s2d(w: "np.ndarray") -> "np.ndarray":
+    """(3, 3, 3, C) stride-2 kernel -> exactly-equivalent (2, 2, 12, C)
+    kernel over the s2d input (source row 2i+ky-1 = 2(i+dy_blk)+dy_sub)."""
+    import numpy as np_
+
+    c_out = w.shape[-1]
+    out = np_.zeros((2, 2, 12, c_out), w.dtype)
+    for ky in range(3):
+        dby, dsy = divmod(ky - 1, 2)
+        for kx in range(3):
+            dbx, dsx = divmod(kx - 1, 2)
+            for c in range(3):
+                out[dby + 1, dbx + 1, dsy * 6 + dsx * 3 + c] = w[ky, kx, c]
+    return out
+
+
 class Backbone(nn.Module):
     """4-stage residual backbone; returns C3 (s8), C4 (s16), C5 (s32)."""
     config: SCRFDConfig
@@ -89,9 +118,17 @@ class Backbone(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         cfg = self.config
-        # Deep stem (ResNetV1e): two 3x3 convs, first with stride 2.
-        x = ConvBN(cfg.stem_filters // 2, (3, 3), strides=(2, 2), padding=1,
-                   act=nn.relu, dtype=self.dtype, name="stem1")(x, train=train)
+        # Deep stem (ResNetV1e): two 3x3 convs, first with stride 2 —
+        # or its space-to-depth equivalent (2x2 conv over 12 channels).
+        if cfg.s2d_stem:
+            x = s2d_input(x)
+            x = ConvBN(cfg.stem_filters // 2, (2, 2),
+                       padding=[(1, 0), (1, 0)], act=nn.relu,
+                       dtype=self.dtype, name="stem1")(x, train=train)
+        else:
+            x = ConvBN(cfg.stem_filters // 2, (3, 3), strides=(2, 2),
+                       padding=1, act=nn.relu, dtype=self.dtype,
+                       name="stem1")(x, train=train)
         x = ConvBN(cfg.stem_filters, (3, 3), padding=1, act=nn.relu,
                    dtype=self.dtype, name="stem2")(x, train=train)
         feats = []
@@ -222,5 +259,9 @@ class SCRFDNet(nn.Module):
         return SCRFDHead(self.config, dtype=self.dtype, name="head")(feats)
 
 
-def build_scrfd(name: str, dtype: Any = jnp.float32) -> SCRFDNet:
-    return SCRFDNet(SCRFD_CONFIGS[name], dtype=dtype)
+def build_scrfd(name: str, dtype: Any = jnp.float32,
+                s2d_stem: bool = False) -> SCRFDNet:
+    cfg = SCRFD_CONFIGS[name]
+    if s2d_stem:
+        cfg = dataclasses.replace(cfg, s2d_stem=True)
+    return SCRFDNet(cfg, dtype=dtype)

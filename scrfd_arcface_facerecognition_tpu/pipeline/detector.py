@@ -129,11 +129,12 @@ class Detector:
                  input_size: Tuple[int, int] = (640, 640),
                  conf_thres: float = 0.5, iou_thres: float = 0.4,
                  pre_nms: int = 256, max_det: int = 64,
-                 dtype: Any = jnp.float32, seed: int = 0):
+                 dtype: Any = jnp.float32, seed: int = 0,
+                 s2d_stem: bool = True):
         if variant not in SCRFD_CONFIGS:
             raise ValueError(f"unknown SCRFD variant {variant!r}")
         self.variant = variant
-        self.model = build_scrfd(variant, dtype=dtype)
+        self.model = build_scrfd(variant, dtype=dtype, s2d_stem=s2d_stem)
         self.input_size = (input_size[1], input_size[0])  # store as (h, w)
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres

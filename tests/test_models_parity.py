@@ -114,3 +114,47 @@ def test_arcface_param_budget(name, budget_mb):
     v = _init(m, (1, 112, 112, 3))
     mb = sum(np.prod(p.shape) for p in jax.tree.leaves(v["params"])) * 4 / 1e6
     assert 0.5 * budget_mb < mb < 1.6 * budget_mb, mb
+
+
+def test_s2d_stem_exactly_equivalent():
+    """s2d stem + transformed kernel == stride-2 3x3 stem, bit-for-bit-ish."""
+    from scrfd_arcface_facerecognition_tpu.models.scrfd import (
+        s2d_input, stem_kernel_to_s2d)
+    import jax.lax as lax
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, 8)).astype(np.float32)
+
+    want = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), window_strides=(2, 2),
+        padding=[(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    w2 = stem_kernel_to_s2d(w)
+    got = lax.conv_general_dilated(
+        s2d_input(jnp.asarray(x)), jnp.asarray(w2), window_strides=(1, 1),
+        padding=[(1, 0), (1, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_s2d_model_matches_normal_model():
+    """Full det model with s2d stem == normal model with transformed stem."""
+    from scrfd_arcface_facerecognition_tpu.models.scrfd import (
+        stem_kernel_to_s2d)
+    import copy
+
+    m0 = models.build_scrfd("det_500m")
+    m1 = models.build_scrfd("det_500m", s2d_stem=True)
+    v0 = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    v1 = jax.tree.map(np.asarray, dict(v0))
+    v1 = copy.deepcopy(v1)
+    v1["params"]["backbone"]["stem1"]["conv"]["kernel"] = stem_kernel_to_s2d(
+        np.asarray(v0["params"]["backbone"]["stem1"]["conv"]["kernel"]))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    out0 = m0.apply(v0, x)
+    out1 = m1.apply(v1, x)
+    for key in ("scores", "bboxes", "kps"):
+        for a, b in zip(out0[key], out1[key]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4)
