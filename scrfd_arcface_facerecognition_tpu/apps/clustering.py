@@ -432,6 +432,100 @@ class SmartFaceEngine:
                                           save_images, pre_bbox_gate=True)
         return results
 
+    # -------------------------------------------------------- API ingest
+
+    def fetch_visit_data_from_api(self, api_url: str, start_date=None,
+                                  end_date=None, page: int = 0,
+                                  limit: int = 100, start_time=None,
+                                  end_time=None, all_branch: bool = True,
+                                  api_key=None, auth_token=None):
+        """Fetch + transform visit records from the analytics REST API.
+
+        Parameter surface and field mapping mirror
+        smart_face_recognition.py:695-876 (page/limit/allBranch/date/time
+        query params, faceResponse image-url fallbacks, entry/exit mapping).
+        Returns [] on any failure.
+        """
+        import json as _json
+        import urllib.parse
+        import urllib.request
+
+        params = {"page": page, "limit": limit,
+                  "allBranch": str(all_branch).lower(),
+                  "nolimit": "false", "isZone": "false",
+                  "BlackListed": "false", "Vip": "false", "Vendor": "false",
+                  "isDeleted": "false"}
+        if start_date:
+            params["date"] = start_date
+        if start_time:
+            params["startTime"] = start_time
+        if end_time:
+            params["endTime"] = end_time
+        headers = {}
+        if api_key:
+            headers["X-API-Key"] = api_key
+        if auth_token:
+            headers["Authorization"] = f"Bearer {auth_token}"
+        try:
+            url = api_url + "?" + urllib.parse.urlencode(params)
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                data = _json.loads(resp.read())
+        except Exception as e:
+            logger.error("API request failed: %s", e)
+            return []
+
+        if isinstance(data, list):
+            raw_visits = data
+        elif isinstance(data, dict):
+            raw_visits = data.get("list", data.get("data", data.get(
+                "visits", data.get("results", []))))
+        else:
+            return []
+
+        visits = []
+        for visit in raw_visits:
+            image_url = None
+            fr = visit.get("faceResponse")
+            if fr and isinstance(fr, dict):
+                image_url = (fr.get("boxData", {}).get("imageUrl")
+                             or fr.get("faceResponse", {}).get("imageUrl")
+                             or fr.get("imageUrl") or fr.get("image"))
+            else:
+                for key in ("imageUrl", "image", "faceImage", "face_image",
+                            "photo", "photoUrl"):
+                    if visit.get(key):
+                        image_url = visit[key]
+                        break
+            transformed = {
+                "visit_id": visit.get("id", visit.get("visitId",
+                                                      visit.get("visit_id"))),
+                "id": visit.get("id", visit.get("visitId")),
+                "customer_id": visit.get("customerId",
+                                         visit.get("customer_id")),
+                "customerId": visit.get("customerId",
+                                        visit.get("customer_id")),
+                "image": image_url,
+                "entry_time": visit.get("timestamp", visit.get(
+                    "entryTime", visit.get("entry_time"))),
+                "entryTime": visit.get("timestamp", visit.get(
+                    "entryTime", visit.get("entry_time"))),
+                "event": "entry" if visit.get("isEntry", False) else "exit",
+                "camera": visit.get("camera", visit.get("cameraName",
+                                                        "Unknown")),
+                "branchId": visit.get("branchId", visit.get("branch_id",
+                                                            "Unknown")),
+                "age": (fr or {}).get("age", {}).get("low") if fr else None,
+                "gender": (fr or {}).get("gender", {}).get("value")
+                          if fr else None,
+                "similarity": visit.get("confidence",
+                                        visit.get("similarity", 1.0)),
+                "entryEventIds": visit.get("entryEventIds", []),
+            }
+            if transformed["image"] and str(transformed["image"]).startswith("http"):
+                visits.append(transformed)
+        return visits
+
     # ----------------------------------------------------- dedup + merge
 
     def merge_duplicate_persons(self, person_id1: int, person_id2: int) -> None:

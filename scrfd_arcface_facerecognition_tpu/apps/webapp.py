@@ -143,12 +143,32 @@ class WebApp:
         return 200, None, {"success": True, "results": results}
 
     def process_visits_from_api(self, body: Dict[str, Any]):
+        """Fetch visits from the analytics API, then cluster them
+        (smart_face_recognition.py:3242-3332 semantics)."""
         cfg = load_api_config(self.api_config_path)
         api_url = body.get("api_url") or cfg.get("API_URL")
         if not api_url:
             return 400, None, {"error": "No API URL configured"}
-        return 501, None, {"error": "External API unreachable in this "
-                                    "deployment", "api_url": api_url}
+        visits = self.engine.fetch_visit_data_from_api(
+            api_url,
+            start_date=body.get("start_date") or cfg.get("START_DATE"),
+            end_date=body.get("end_date") or cfg.get("END_DATE"),
+            page=body.get("page", 0), limit=body.get("limit", 100),
+            start_time=body.get("start_time"), end_time=body.get("end_time"),
+            all_branch=body.get("all_branch", True),
+            api_key=body.get("api_key") or cfg.get("API_KEY"),
+            auth_token=body.get("auth_token") or cfg.get("AUTH_TOKEN"))
+        if not visits:
+            return 502, None, {"error": "No visits fetched from API",
+                               "api_url": api_url}
+        with self._lock:
+            results = self.engine.process_visit_data_from_json(
+                {"visits": visits},
+                max_visits=body.get("max_visits"),
+                save_images=body.get("save_images", True),
+                clear_existing=body.get("clear_existing", False))
+        return 200, None, {"success": True, "fetched": len(visits),
+                           "results": results}
 
     def process_face_comparisons_from_api(self, body: Dict[str, Any]):
         if self.comparison is None:

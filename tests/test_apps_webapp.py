@@ -158,3 +158,52 @@ def test_live_http_server(app):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_process_visits_from_api_with_mock_server(app):
+    """Full from-API flow against a local mock analytics API."""
+    import http.server
+
+    ok_box = {"width": 90, "height": 120, "top": 300, "left": 300}
+    url1 = app._store.add("http://imgs/a.jpg", identity=1)
+    url2 = app._store.add("http://imgs/b.jpg", identity=2)
+    payload = {"list": [
+        {"id": "v1", "customerId": "c1", "timestamp": "t1", "isEntry": True,
+         "faceResponse": {"boxData": {"imageUrl": url1}},
+         "entryEventIds": [{"box": ok_box}]},
+        {"id": "v2", "customerId": "c2", "timestamp": "t2",
+         "imageUrl": url2, "entryEventIds": [{"box": ok_box}]},
+        {"id": "v3", "customerId": "c3"},   # no image -> dropped
+    ]}
+
+    class MockAPI(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            assert "page=0" in self.path and "allBranch=true" in self.path
+            data = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.HTTPServer(("127.0.0.1", 0), MockAPI)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, _, res = app.dispatch(
+            "POST", "/api/process-visits-from-api",
+            {"api_url": f"http://127.0.0.1:{port}/analytics",
+             "save_images": False})
+        assert status == 200, res
+        assert res["fetched"] == 2
+        assert res["results"]["new_persons"] == 2
+    finally:
+        server.shutdown()
+
+
+def test_process_visits_from_api_requires_url(app):
+    assert app.dispatch("POST", "/api/process-visits-from-api", {})[0] == 400
