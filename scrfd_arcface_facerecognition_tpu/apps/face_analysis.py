@@ -39,7 +39,13 @@ class FaceAnalysis:
     def __init__(self, name: str = "buffalo_l",
                  det_variant: str = "det_10g", rec_variant: str = "w600k_r50",
                  det_variables: Any = None, rec_variables: Any = None,
-                 dtype: Any = jnp.float32, seed: int = 0):
+                 dtype: Any = None, seed: int = 0):
+        if dtype is None:
+            # bf16 compute on TPU (params stay f32), f32 elsewhere
+            import jax
+
+            dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                     else jnp.float32)
         self.name = name
         self.detector = Detector(det_variant, variables=det_variables,
                                  dtype=dtype, seed=seed)
