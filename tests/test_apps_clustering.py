@@ -196,3 +196,22 @@ def test_reference_visit_cluster_json_parses(engine):
     from scrfd_arcface_facerecognition_tpu.apps import quality as Q
     for v in visits[:20]:
         Q.check_side_face_from_json_bbox(v, engine.config)
+
+
+def test_extract_batch_shape_bucketing(engine):
+    """Odd-shaped images must land in few compiled shape buckets."""
+    calls = []
+    orig = engine.app.get_batch
+
+    def spy(images, max_num=0):
+        calls.append([im.shape for im in images])
+        return orig(images, max_num=max_num)
+
+    engine.app.get_batch = spy
+    from fake_stack import make_image
+    engine._store.images["http://x/odd1.jpg"] = make_image(1, h=231, w=317)
+    engine._store.images["http://x/odd2.jpg"] = make_image(2, h=199, w=305)
+    results = engine.extract_batch(["http://x/odd1.jpg", "http://x/odd2.jpg"])
+    assert all(r is not None for r in results)
+    shapes = {s for call in calls for s in call}
+    assert shapes == {(256, 512, 3)}  # both bucketed to one shape
