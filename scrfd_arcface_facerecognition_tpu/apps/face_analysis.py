@@ -17,7 +17,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..pipeline import Detector, Embedder
-from ..pipeline.embedder import embed_faces
 
 
 @dataclasses.dataclass
@@ -39,7 +38,8 @@ class FaceAnalysis:
     def __init__(self, name: str = "buffalo_l",
                  det_variant: str = "det_10g", rec_variant: str = "w600k_r50",
                  det_variables: Any = None, rec_variables: Any = None,
-                 dtype: Any = None, seed: int = 0):
+                 dtype: Any = None, seed: int = 0, max_det: int = 16,
+                 chunk: int = 16):
         if dtype is None:
             # bf16 compute on TPU (params stay f32), f32 elsewhere
             import jax
@@ -47,11 +47,21 @@ class FaceAnalysis:
             dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                      else jnp.float32)
         self.name = name
+        self.chunk = chunk  # images per device batch (bounds HBM: the dense
+        # embed path materializes batch*max_det 112x112 crops at once)
         self.detector = Detector(det_variant, variables=det_variables,
-                                 dtype=dtype, seed=seed)
+                                 dtype=dtype, seed=seed, max_det=max_det)
         self.embedder = Embedder(rec_variant, variables=rec_variables,
                                  dtype=dtype, seed=seed)
         self.det_thresh = 0.5
+        # Internal pipeline reuse: the bucketed embed path (pallas warp on
+        # TPU, real-face-count bucketing) — gallery stays empty, match
+        # outputs are ignored.
+        from .. import pipeline as _pl
+
+        self._pipe = _pl.FacePipeline(detector=self.detector,
+                                      embedder=self.embedder,
+                                      gallery_capacity=8, max_det=max_det)
 
     def prepare(self, ctx_id: int = 0, det_size: Tuple[int, int] = (640, 640),
                 det_thresh: float = 0.5) -> None:
@@ -75,28 +85,29 @@ class FaceAnalysis:
         by_shape = {}
         for i, im in enumerate(images):
             by_shape.setdefault(im.shape, []).append(i)
+        chunked = []
         for shape, idxs in by_shape.items():
+            for c in range(0, len(idxs), self.chunk):
+                chunked.append((shape, idxs[c:c + self.chunk]))
+        for shape, idxs in chunked:
             batch = np.stack([images[i] for i in idxs])
-            dets = self.detector.detect_batched(jnp.asarray(batch),
-                                                max_num=max_num)
-            embs = embed_faces(self.embedder.model.apply,
-                               self.embedder.variables,
-                               jnp.asarray(batch), dets.kps, dets.valid,
-                               l2=False)
-            boxes = np.asarray(dets.boxes)
-            scores = np.asarray(dets.scores)
-            kps = np.asarray(dets.kps)
-            valid = np.asarray(dets.valid)
-            embs = np.asarray(embs)
+            res = self._pipe(jnp.asarray(batch), max_num=max_num)
+            boxes = np.asarray(res.boxes)
+            scores = np.asarray(res.scores)
+            kps = np.asarray(res.kps)
+            valid = np.asarray(res.valid)
+            embs = np.asarray(res.embeddings)  # L2-normalized
             for bi, i in enumerate(idxs):
                 faces = []
                 for k in range(boxes.shape[1]):
                     if not valid[bi, k]:
                         continue
-                    raw = embs[bi, k]
-                    norm = raw / max(float(np.linalg.norm(raw)), 1e-12)
+                    norm = embs[bi, k]
+                    # raw embedding == normed up to scale; every consumer of
+                    # `.embedding` uses scale-invariant cosine
+                    # (compare_face_from_api.py:157-171)
                     faces.append(Face(bbox=boxes[bi, k], kps=kps[bi, k],
                                       det_score=float(scores[bi, k]),
-                                      embedding=raw, normed_embedding=norm))
+                                      embedding=norm, normed_embedding=norm))
                 out[i] = faces
         return out  # type: ignore[return-value]
