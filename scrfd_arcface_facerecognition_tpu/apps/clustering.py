@@ -122,22 +122,31 @@ class SmartFaceEngine:
     def _best_face(self, faces):
         return max(faces, key=lambda f: getattr(f, "det_score", 0.0)) if faces else None
 
-    def _gate_face(self, face, source: str) -> Optional[Dict[str, Any]]:
+    def _gate_face(self, face, source: str):
         """Confidence -> side-face -> min-quality gates
-        (smart_face_recognition.py:1479-1509). Returns embedding_data."""
+        (smart_face_recognition.py:1479-1509).
+
+        Returns (embedding_data, reason): reason is None on success, else
+        one of "no_face" (no face / low confidence / side face) or
+        "low_quality" (quality gate). The reference folds every failure
+        into a None return (and so counts them all as no_faces, :2117);
+        the split reason is what lets the batch counters distinguish
+        low_quality — the counter the reference initializes (:1754-1763)
+        but never increments.
+        """
         if face is None:
-            return None
+            return None, "no_face"
         if float(face.det_score) < self.confidence_thresh:
             logger.info("face confidence too low in: %s", source)
-            return None
+            return None, "no_face"
         if Q.is_side_face(face, self.config):
             logger.info("side face rejected in: %s", source)
-            return None
+            return None, "no_face"
         embedding = face.normed_embedding
         scores = Q.assess_face_quality(face, self.config)
         if scores["overall"] < self.config["face_detection"]["min_quality_threshold"]:
             logger.info("face quality extremely low in: %s", source)
-            return None
+            return None, "low_quality"
         return {
             "embedding": np.asarray(embedding, np.float32),
             "quality": scores,
@@ -146,7 +155,7 @@ class SmartFaceEngine:
             "face_confidence": float(face.det_score),
             "face_hash": self.compute_face_hash(embedding),
             "image_source": source,
-        }
+        }, None
 
     def extract_face_embedding(self, image_source: str, save_image: bool = False,
                                output_dir: Optional[str] = None
@@ -164,7 +173,7 @@ class SmartFaceEngine:
         if image is None:
             return None
         faces = self.app.get(image)
-        data = self._gate_face(self._best_face(faces), image_source)
+        data, _ = self._gate_face(self._best_face(faces), image_source)
         if data is not None and save_path:
             data["saved_image_path"] = save_path
         return data
@@ -173,6 +182,16 @@ class SmartFaceEngine:
                       output_dir: Optional[str] = None
                       ) -> List[Optional[Dict[str, Any]]]:
         """Batched path: concurrent load, ONE device batch per image shape."""
+        return [data for data, _ in self.extract_batch_detail(
+            sources, save_image=save_image, output_dir=output_dir)]
+
+    def extract_batch_detail(self, sources: List[str],
+                             save_image: bool = False,
+                             output_dir: Optional[str] = None):
+        """extract_batch returning (embedding_data, failure_reason) pairs.
+
+        reason is None on success, else "download_failed" / "no_face" /
+        "low_quality" — the distinction the batch counters need."""
         max_workers = max(1, min(self.config["image_processing"]["max_workers"],
                                  len(sources) or 1))
 
@@ -192,7 +211,7 @@ class SmartFaceEngine:
             loaded = list(pool.map(load, sources))
 
         idxs = [i for i, (im, _) in enumerate(loaded) if im is not None]
-        out: List[Optional[Dict[str, Any]]] = [None] * len(sources)
+        out = [(None, "download_failed")] * len(sources)
         if not idxs:
             return out
         # Shape bucketing: web images arrive in arbitrary shapes; a compiled
@@ -213,10 +232,10 @@ class SmartFaceEngine:
         face_lists = self.app.get_batch(
             [pad_to_bucket(loaded[i][0]) for i in idxs])
         for i, faces in zip(idxs, face_lists):
-            data = self._gate_face(self._best_face(faces), sources[i])
+            data, reason = self._gate_face(self._best_face(faces), sources[i])
             if data is not None and loaded[i][1]:
                 data["saved_image_path"] = loaded[i][1]
-            out[i] = data
+            out[i] = (data, reason)
         return out
 
     # ------------------------------------------------------- person CRUD
@@ -321,96 +340,125 @@ class SmartFaceEngine:
 
         images_dir = (os.path.join(output_folder, "downloaded_images")
                       if (output_folder and save_images) else None)
-        embeddings = self.extract_batch([v.get("image") for _, v in active],
-                                        save_image=save_images,
-                                        output_dir=images_dir)
+        embeddings = self.extract_batch_detail(
+            [v.get("image") for _, v in active], save_image=save_images,
+            output_dir=images_dir)
 
-        for (i, visit), embedding_data in zip(active, embeddings):
-            visit_id = str(visit.get("id", f"visit_{i}"))
-            image_url = visit.get("image")
-            customer_id = visit.get("customerId", f"customer_{i}")
-            entry_time = visit.get("entryTime", "")
-
-            if embedding_data is None:
-                self.db.store_low_similarity(
-                    visit_id, customer_id, entry_time, image_url, None, 0.0,
-                    None, "No face detected, low confidence, or side face")
+        # Per-visit fault isolation: one bad visit (DB error, malformed
+        # record, ...) must not kill the batch — the reference wraps every
+        # visit and counts unexpected failures as no_faces
+        # (smart_face_recognition.py:1973-1977).
+        for (i, visit), (embedding_data, reason) in zip(active, embeddings):
+            try:
+                self._decide_visit(i, visit, embedding_data, reason,
+                                   grouping_threshold, output_folder,
+                                   results, batch_groups)
+            except Exception as e:
+                logger.error("Error processing visit %s: %s", i, e)
                 results["no_faces"] += 1
-                continue
-
-            if self.is_duplicate_image(image_url, embedding_data["embedding"]):
-                results["duplicate_faces"] += 1
-                continue
-
-            results["processed"] += 1
-            saved_path = embedding_data.get("saved_image_path")
-
-            if self.vector_db.get_embedding_count() == 0:
-                person_name = f"Person_{customer_id}_{int(time.time())}"
-                pid = self.add_person(person_name, image_url, embedding_data)
-                if pid > 0:
-                    self.db.store_visit(pid, visit_id, customer_id, entry_time,
-                                        image_url, saved_path, 1.0)
-                    batch_groups.append({
-                        "person_id": pid, "person_name": person_name,
-                        "visits": [self._visit_record(
-                            visit, visit_id, customer_id, entry_time,
-                            image_url, 1.0)]})
-                    results["new_persons"] += 1
-                else:
-                    results["duplicate_faces"] += 1
-                continue
-
-            search_results = self.search_person(embedding_data["embedding"], k=5)
-            similarity = search_results[0]["similarity"] if search_results else 0.0
-            best = search_results[0] if search_results else None
-
-            if best and similarity >= grouping_threshold:
-                pid, person_name = best["person_id"], best["name"]
-                self.db.update_person_stats(pid)
-                self.db.store_visit(pid, visit_id, customer_id, entry_time,
-                                    image_url, saved_path, similarity)
-                batch_groups.append({
-                    "person_id": pid, "person_name": person_name,
-                    "visits": [self._visit_record(
-                        visit, visit_id, customer_id, entry_time, image_url,
-                        similarity)]})
-                if output_folder:
-                    person_folder = os.path.join(
-                        output_folder, f"{person_name}_{pid}")
-                    os.makedirs(person_folder, exist_ok=True)
-                    import json as _json
-
-                    with open(os.path.join(person_folder,
-                                           f"visit_{visit_id}.json"), "w") as f:
-                        _json.dump({
-                            "visit_id": visit_id, "customer_id": customer_id,
-                            "entry_time": entry_time, "image_url": image_url,
-                            "saved_image_path": saved_path,
-                            "similarity": similarity,
-                            "processed_at": datetime.now().isoformat()}, f,
-                            indent=2)
-                results["recognized"] += 1
-            else:
-                person_name = f"Person_{customer_id}_{int(time.time())}"
-                pid = self.add_person(person_name, image_url, embedding_data)
-                if pid > 0:
-                    self.db.store_visit(pid, visit_id, customer_id, entry_time,
-                                        image_url, saved_path, similarity)
-                    batch_groups.append({
-                        "person_id": pid, "person_name": person_name,
-                        "visits": [self._visit_record(
-                            visit, visit_id, customer_id, entry_time,
-                            image_url, similarity)]})
-                    results["new_persons"] += 1
-                else:
-                    results["duplicate_faces"] += 1
 
         if batch_groups:
             self.json_storage.save_clustering_results(
                 groups=batch_groups, total_processed=results["processed"],
                 results=results)
         return results, batch_groups
+
+    def _decide_visit(self, i, visit, embedding_data, reason,
+                      grouping_threshold, output_folder, results,
+                      batch_groups) -> None:
+        """One visit's clustering decision (reference :2086-2250 body).
+
+        Counter split: the reference initializes download_failed /
+        low_quality (:1754-1763) but folds every extraction failure into
+        no_faces (:2117); here each failure is counted under its true
+        cause so the counters carry signal.
+        """
+        visit_id = str(visit.get("id", f"visit_{i}"))
+        image_url = visit.get("image")
+        customer_id = visit.get("customerId", f"customer_{i}")
+        entry_time = visit.get("entryTime", "")
+
+        if embedding_data is None:
+            msg, counter = {
+                "download_failed": ("Image download failed",
+                                    "download_failed"),
+                "low_quality": ("Face quality extremely low",
+                                "low_quality"),
+            }.get(reason, ("No face detected, low confidence, or side "
+                           "face", "no_faces"))
+            self.db.store_low_similarity(
+                visit_id, customer_id, entry_time, image_url, None, 0.0,
+                None, msg)
+            results[counter] += 1
+            return
+
+        if self.is_duplicate_image(image_url, embedding_data["embedding"]):
+            results["duplicate_faces"] += 1
+            return
+
+        results["processed"] += 1
+        saved_path = embedding_data.get("saved_image_path")
+
+        if self.vector_db.get_embedding_count() == 0:
+            person_name = f"Person_{customer_id}_{int(time.time())}"
+            pid = self.add_person(person_name, image_url, embedding_data)
+            if pid > 0:
+                self.db.store_visit(pid, visit_id, customer_id, entry_time,
+                                    image_url, saved_path, 1.0)
+                batch_groups.append({
+                    "person_id": pid, "person_name": person_name,
+                    "visits": [self._visit_record(
+                        visit, visit_id, customer_id, entry_time,
+                        image_url, 1.0)]})
+                results["new_persons"] += 1
+            else:
+                results["duplicate_faces"] += 1
+            return
+
+        search_results = self.search_person(embedding_data["embedding"], k=5)
+        similarity = search_results[0]["similarity"] if search_results else 0.0
+        best = search_results[0] if search_results else None
+
+        if best and similarity >= grouping_threshold:
+            pid, person_name = best["person_id"], best["name"]
+            self.db.update_person_stats(pid)
+            self.db.store_visit(pid, visit_id, customer_id, entry_time,
+                                image_url, saved_path, similarity)
+            batch_groups.append({
+                "person_id": pid, "person_name": person_name,
+                "visits": [self._visit_record(
+                    visit, visit_id, customer_id, entry_time, image_url,
+                    similarity)]})
+            if output_folder:
+                person_folder = os.path.join(
+                    output_folder, f"{person_name}_{pid}")
+                os.makedirs(person_folder, exist_ok=True)
+                import json as _json
+
+                with open(os.path.join(person_folder,
+                                       f"visit_{visit_id}.json"), "w") as f:
+                    _json.dump({
+                        "visit_id": visit_id, "customer_id": customer_id,
+                        "entry_time": entry_time, "image_url": image_url,
+                        "saved_image_path": saved_path,
+                        "similarity": similarity,
+                        "processed_at": datetime.now().isoformat()}, f,
+                        indent=2)
+            results["recognized"] += 1
+        else:
+            person_name = f"Person_{customer_id}_{int(time.time())}"
+            pid = self.add_person(person_name, image_url, embedding_data)
+            if pid > 0:
+                self.db.store_visit(pid, visit_id, customer_id, entry_time,
+                                    image_url, saved_path, similarity)
+                batch_groups.append({
+                    "person_id": pid, "person_name": person_name,
+                    "visits": [self._visit_record(
+                        visit, visit_id, customer_id, entry_time,
+                        image_url, similarity)]})
+                results["new_persons"] += 1
+            else:
+                results["duplicate_faces"] += 1
 
     def process_visit_data(self, json_file_path: str,
                            output_folder: Optional[str] = None,

@@ -31,6 +31,10 @@ class Detections(NamedTuple):
         warp as its large-face pyramid level) — None when not materialized
     n_warp_fallback: () int32 — how many valid faces exceed the Pallas warp
         envelope (rotation/scale); None when not computed
+    host_counts: (2,) int32 [total_valid, n_warp_fallback], computed INSIDE
+        the detect jit so the host's bucketing readback is a pure buffer
+        transfer (a post-hoc jnp.stack would enqueue a new program behind
+        every already-dispatched batch and serialize the stream)
     """
     boxes: jnp.ndarray
     scores: jnp.ndarray
@@ -39,6 +43,7 @@ class Detections(NamedTuple):
     count: jnp.ndarray
     canvas: Optional[jnp.ndarray] = None
     n_warp_fallback: Optional[jnp.ndarray] = None
+    host_counts: Optional[jnp.ndarray] = None
 
 
 def decode_outputs(outputs: Dict[str, list], input_size: Tuple[int, int],
@@ -113,9 +118,11 @@ def detect_batch(apply_fn, variables, frames: jnp.ndarray, *,
         matrices, jnp.repeat(jnp.arange(b, dtype=jnp.int32), k),
         plan.frame_hw, plan.det_scale)
     n_fb = jnp.sum(wp.fallback & mask.reshape(-1)).astype(jnp.int32)
+    total = jnp.sum(mask).astype(jnp.int32)
     return Detections(boxes=det_c[..., :4], scores=det_c[..., 4],
                       kps=kps_c, valid=mask, count=count,
-                      canvas=canvas_u8, n_warp_fallback=n_fb)
+                      canvas=canvas_u8, n_warp_fallback=n_fb,
+                      host_counts=jnp.stack([total, n_fb]))
 
 
 class Detector:

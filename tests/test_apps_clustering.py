@@ -215,3 +215,58 @@ def test_extract_batch_shape_bucketing(engine):
     assert all(r is not None for r in results)
     shapes = {s for call in calls for s in call}
     assert shapes == {(256, 512, 3)}  # both bucketed to one shape
+
+
+def test_download_failure_counted_separately(engine):
+    """A failed download increments download_failed (not no_faces) and
+    lands in low_similarity with a download reason; the rest of the batch
+    still processes (reference folds this into no_faces,
+    smart_face_recognition.py:2117 — split intentionally)."""
+    _urls(engine, [("http://x/ok.jpg", 1, 0)])
+    p = engine._tmp / "v.json"
+    p.write_text(json.dumps({"visits": [
+        visit(0, "http://x/missing.jpg"),   # not in the store -> loader None
+        visit(1, "http://x/ok.jpg")]}))
+    results = engine.process_visit_data(str(p), save_images=False)
+    assert results["download_failed"] == 1
+    assert results["no_faces"] == 0
+    assert results["new_persons"] == 1
+    rows = engine.get_low_similarity_images()
+    assert any("download" in r["reason"].lower() for r in rows)
+
+
+def test_mid_batch_exception_isolated(engine):
+    """A per-visit DB exception must not kill the batch: the failed visit
+    counts as no_faces (reference :1973-1977) and later visits complete."""
+    _urls(engine, [("http://x/a.jpg", 1, 0), ("http://x/b.jpg", 2, 0),
+                   ("http://x/c.jpg", 3, 0)])
+    orig = engine.db.store_visit
+    boom = {"n": 0}
+
+    def flaky(pid, visit_id, *a, **k):
+        boom["n"] += 1
+        if visit_id == "1":
+            raise RuntimeError("injected DB failure")
+        return orig(pid, visit_id, *a, **k)
+
+    engine.db.store_visit = flaky
+    p = engine._tmp / "v.json"
+    p.write_text(json.dumps({"visits": [
+        visit(0, "http://x/a.jpg"), visit(1, "http://x/b.jpg"),
+        visit(2, "http://x/c.jpg")]}))
+    results = engine.process_visit_data(str(p), save_images=False)
+    assert results["no_faces"] == 1          # the injected failure
+    assert results["new_persons"] == 2       # visits 0 and 2 completed
+    assert boom["n"] == 3                    # all three visits attempted
+
+
+def test_quality_gate_counts_low_quality(engine):
+    """Quality-gate rejections increment low_quality, not no_faces."""
+    cfg = engine.config
+    cfg["face_detection"]["min_quality_threshold"] = 2.0  # impossible bar
+    _urls(engine, [("http://x/a.jpg", 1, 0)])
+    p = engine._tmp / "v.json"
+    p.write_text(json.dumps({"visits": [visit(0, "http://x/a.jpg")]}))
+    results = engine.process_visit_data(str(p), save_images=False)
+    assert results["low_quality"] == 1
+    assert results["no_faces"] == 0
