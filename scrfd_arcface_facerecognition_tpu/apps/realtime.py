@@ -114,9 +114,14 @@ def run(params: argparse.Namespace) -> dict:
                         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
     import jax.numpy as jnp
 
+    # When the --det-weight/--rec-weight files exist, run the released
+    # graphs directly (graph-driven import); else fall back to the
+    # from-scratch Flax variants named by the filename.
     pipeline = FacePipeline(
         det_variant=variant_from_path(params.det_weight, "det_10g"),
         rec_variant=variant_from_path(params.rec_weight, "w600k_r50"),
+        det_onnx=params.det_weight if os.path.exists(params.det_weight) else None,
+        rec_onnx=params.rec_weight if os.path.exists(params.rec_weight) else None,
         conf_thres=params.confidence_thresh,
         similarity_thresh=params.similarity_thresh,
         dtype=jnp.bfloat16)

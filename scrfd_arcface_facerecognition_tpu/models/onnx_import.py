@@ -85,15 +85,36 @@ def extract_weight_sequences(graph: OnnxGraph) -> _Extracted:
             w = init.get(node.inputs[1])
             if w is None:
                 continue
+            # Layout is explicit: Gemm's transB attribute; MatMul is always
+            # (in, out). No shape guessing (the old disambiguation heuristic
+            # mis-picked permutations for square layers).
             entry = {"weight": w,
-                     "transB": bool(node.attrs.get("transB", 0))
-                     or node.op_type == "Gemm" and bool(node.attrs.get("transB", 0))}
-            if node.op_type == "MatMul":
-                entry["transB"] = False
+                     "transB": (node.op_type == "Gemm"
+                                and bool(node.attrs.get("transB", 0))),
+                     "data_input": node.inputs[0]}
             if len(node.inputs) > 2 and node.inputs[2] in init:
                 entry["bias"] = init[node.inputs[2]].reshape(-1)
             gemms.append(entry)
     return _Extracted(convs, bns, prelus, gemms)
+
+
+def _pre_flatten_chw(graph: OnnxGraph, gemm_entry: Dict[str, Any],
+                     shapes: Dict[str, Tuple]) -> Optional[Tuple[int, int, int]]:
+    """The NCHW shape feeding the Flatten/Reshape ahead of a Gemm, from
+    executor shape inference — this is what determines the NCHW->NHWC
+    flatten permutation, read off the graph instead of guessed."""
+    producers = {o: n for n in graph.nodes for o in n.outputs}
+    t = gemm_entry["data_input"]
+    for _ in range(4):
+        n = producers.get(t)
+        if n is not None and n.op_type in ("Flatten", "Reshape", "Squeeze"):
+            t = n.inputs[0]
+        else:
+            break
+    info = shapes.get(t)
+    if info and len(info[1]) == 4:
+        return tuple(int(d) for d in info[1][1:])
+    return None
 
 
 def _flat_params_in_order(variables) -> List[Tuple[tuple, np.ndarray]]:
@@ -117,7 +138,8 @@ class ImportError_(ValueError):
 
 
 def import_into_variables(variables: Dict[str, Any], graph: OnnxGraph,
-                          fc_chw: Optional[Tuple[int, int, int]] = None
+                          fc_chw: Optional[Tuple[int, int, int]] = None,
+                          input_shape: Optional[Tuple[int, ...]] = None
                           ) -> Dict[str, Any]:
     """Fill a Flax variables tree from an ONNX graph by ordered matching.
 
@@ -126,10 +148,22 @@ def import_into_variables(variables: Dict[str, Any], graph: OnnxGraph,
     Raises ImportError_ with a precise location when counts or shapes
     mismatch — structural disagreement means the architecture doesn't
     correspond to the file and silent corruption is never possible.
+
+    Dense layouts are graph-driven: Gemm transB comes from the attribute,
+    and the NCHW->NHWC flatten permutation from executor shape inference on
+    the graph itself (`input_shape`, NHWC). `fc_chw` remains as an explicit
+    override. (Note: for exact real-file execution prefer the graph
+    executor, models/onnx_exec.py — this importer exists to load released
+    weights into the trainable Flax models.)
     """
     import jax
 
     ex = extract_weight_sequences(graph)
+    gemm_shapes: Dict[str, Tuple] = {}
+    if ex.gemms and fc_chw is None and input_shape is not None:
+        from .onnx_exec import OnnxModel
+
+        gemm_shapes = OnnxModel(graph).trace_shapes(input_shape)
     params = _flat_params_in_order(variables.get("params", variables))
     stats = _flat_params_in_order(variables.get("batch_stats", {}))
 
@@ -176,14 +210,16 @@ def import_into_variables(variables: Dict[str, Any], graph: OnnxGraph,
             src = ex.gemms[gemm_i]
             gemm_i += 1
             w = src["weight"]
-            if fc_chw is not None and (w.shape[0] == leaves["kernel"].shape[1]
-                                       or src.get("transB")):
-                kernel = fc_kernel_to_flax(
-                    w if w.shape[1] == leaves["kernel"].shape[0] or src.get("transB")
-                    else w.T, fc_chw, transB=True
-                    if w.shape[0] == leaves["kernel"].shape[1] else False)
+            if src["transB"]:
+                w = w.T                                 # normalize to (in, out)
+            chw = fc_chw or _pre_flatten_chw(graph, src, gemm_shapes)
+            if chw is not None and w.shape[0] == int(np.prod(chw)) \
+                    and chw[1] * chw[2] > 1:
+                # NCHW-flatten ahead of this layer: permute rows to the
+                # model's NHWC flatten order.
+                kernel = fc_kernel_to_flax(w.T, chw, transB=True)
             else:
-                kernel = w if w.shape == leaves["kernel"].shape else w.T
+                kernel = w
             if kernel.shape != leaves["kernel"].shape:
                 fail(f"dense shape mismatch at {'/'.join(mod_path)}: "
                      f"{kernel.shape} vs {leaves['kernel'].shape}")
@@ -231,19 +267,14 @@ def import_into_variables(variables: Dict[str, Any], graph: OnnxGraph,
 
 
 def load_arcface_weights(model, onnx_path: str, seed: int = 0):
-    """ONNX -> variables for an ArcFace embedder (fc_chw = (512, 7, 7) for
-    r50; (512, 1, 1) for mbf's GDC output)."""
+    """ONNX -> variables for an ArcFace embedder. The FC flatten layout is
+    read off the graph via shape inference (no fan-in heuristics)."""
     from .init_utils import cpu_init
 
     variables = cpu_init(model, seed, (1, 112, 112, 3))
     graph = load_onnx(onnx_path)
-    # infer pre-flatten CHW from the model's dense kernel fan-in
-    dense_in = variables["params"]["fc"]["kernel"].shape[0]
-    if dense_in % 49 == 0:
-        fc_chw = (dense_in // 49, 7, 7)
-    else:
-        fc_chw = (dense_in, 1, 1)
-    return import_into_variables(variables, graph, fc_chw=fc_chw)
+    return import_into_variables(variables, graph,
+                                 input_shape=(1, 112, 112, 3))
 
 
 def load_scrfd_weights(model, onnx_path: str, seed: int = 0,
@@ -252,4 +283,5 @@ def load_scrfd_weights(model, onnx_path: str, seed: int = 0,
 
     variables = cpu_init(model, seed, (1, *input_size, 3))
     graph = load_onnx(onnx_path)
-    return import_into_variables(variables, graph)
+    return import_into_variables(variables, graph,
+                                 input_shape=(1, *input_size, 3))

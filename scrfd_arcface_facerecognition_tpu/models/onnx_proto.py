@@ -238,7 +238,11 @@ def load_onnx(path: str) -> OnnxGraph:
     """Parse an ONNX ModelProto file into an OnnxGraph."""
     with open(path, "rb") as f:
         buf = f.read()
-    for field, wire, val in iter_fields(buf):
-        if field == 7 and wire == 2:       # ModelProto.graph
-            return _parse_graph(val)
+    try:
+        for field, wire, val in iter_fields(buf):
+            if field == 7 and wire == 2:   # ModelProto.graph
+                return _parse_graph(val)
+    except Exception as e:
+        raise ValueError(
+            f"{path}: not a parseable ONNX ModelProto ({e})") from e
     raise ValueError(f"{path}: no graph found (not an ONNX ModelProto?)")

@@ -137,20 +137,29 @@ class Detector:
                  conf_thres: float = 0.5, iou_thres: float = 0.4,
                  pre_nms: int = 256, max_det: int = 64,
                  dtype: Any = jnp.float32, seed: int = 0,
-                 s2d_stem: bool = True):
-        if variant not in SCRFD_CONFIGS:
-            raise ValueError(f"unknown SCRFD variant {variant!r}")
+                 s2d_stem: bool = True, onnx_path: Optional[str] = None):
         self.variant = variant
-        self.model = build_scrfd(variant, dtype=dtype, s2d_stem=s2d_stem)
         self.input_size = (input_size[1], input_size[0])  # store as (h, w)
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
         self.pre_nms = pre_nms
         self.max_det = max_det
-        if variables is None:
-            from ..models.init_utils import cpu_init
+        if onnx_path is not None:
+            # Graph-driven path: the released .onnx IS the model
+            # (numerical agreement with the file is structural).
+            from ..models.graph_models import scrfd_from_onnx
 
-            variables = cpu_init(self.model, seed, (1, *self.input_size, 3))
+            self.model = scrfd_from_onnx(onnx_path, dtype=dtype)
+            variables = self.model.variables
+        else:
+            if variant not in SCRFD_CONFIGS:
+                raise ValueError(f"unknown SCRFD variant {variant!r}")
+            self.model = build_scrfd(variant, dtype=dtype, s2d_stem=s2d_stem)
+            if variables is None:
+                from ..models.init_utils import cpu_init
+
+                variables = cpu_init(self.model, seed,
+                                     (1, *self.input_size, 3))
         self.variables = variables
         self._jitted = {}
 

@@ -80,16 +80,24 @@ class Embedder:
 
     def __init__(self, variant: str = "w600k_r50",
                  variables: Optional[Any] = None,
-                 dtype: Any = jnp.float32, seed: int = 0):
-        if variant not in ARCFACE_CONFIGS:
-            raise ValueError(f"unknown ArcFace variant {variant!r}")
+                 dtype: Any = jnp.float32, seed: int = 0,
+                 onnx_path: Optional[str] = None):
         self.variant = variant
-        self.model = build_arcface(variant, dtype=dtype)
         self.input_size = (112, 112)
-        if variables is None:
-            from ..models.init_utils import cpu_init
+        if onnx_path is not None:
+            # Graph-driven path: the released .onnx IS the model.
+            from ..models.graph_models import arcface_from_onnx
 
-            variables = cpu_init(self.model, seed, (1, 112, 112, 3))
+            self.model = arcface_from_onnx(onnx_path, dtype=dtype)
+            variables = self.model.variables
+        else:
+            if variant not in ARCFACE_CONFIGS:
+                raise ValueError(f"unknown ArcFace variant {variant!r}")
+            self.model = build_arcface(variant, dtype=dtype)
+            if variables is None:
+                from ..models.init_utils import cpu_init
+
+                variables = cpu_init(self.model, seed, (1, 112, 112, 3))
         self.variables = variables
         self._jitted = {}
 

@@ -156,11 +156,15 @@ class FacePipeline:
                  pre_nms: int = 256, max_det: int = 16,
                  gallery_capacity: int = 512,
                  dtype: Any = jnp.float32, seed: int = 0,
-                 use_pallas_warp: Optional[bool] = None):
+                 use_pallas_warp: Optional[bool] = None,
+                 det_onnx: Optional[str] = None,
+                 rec_onnx: Optional[str] = None):
         self.detector = detector or Detector(
             det_variant, conf_thres=conf_thres, iou_thres=iou_thres,
-            pre_nms=pre_nms, max_det=max_det, dtype=dtype, seed=seed)
-        self.embedder = embedder or Embedder(rec_variant, dtype=dtype, seed=seed)
+            pre_nms=pre_nms, max_det=max_det, dtype=dtype, seed=seed,
+            onnx_path=det_onnx)
+        self.embedder = embedder or Embedder(rec_variant, dtype=dtype,
+                                             seed=seed, onnx_path=rec_onnx)
         self.similarity_thresh = similarity_thresh
         # Pallas warp policy: None/"auto" -> on for TPU, with per-batch
         # fallback to the XLA warp when any face exceeds the kernel envelope

@@ -183,3 +183,23 @@ def test_loader_entrypoints_exist():
     """API surface for when real weights are provided (README workflow)."""
     assert callable(oi.load_arcface_weights)
     assert callable(oi.load_scrfd_weights)
+
+
+def test_fc_layout_inferred_from_graph(tmp_path):
+    """No fc_chw hint: the flatten permutation comes from executor shape
+    inference on the graph (graph-driven, replacing the old shape-guessing)."""
+    rng = np.random.default_rng(7)
+    hw = 6
+    path, inits = _tiny_onnx(tmp_path, rng, hw)
+    graph = load_onnx(path)
+
+    model = TinyNet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3)))
+    imported = oi.import_into_variables(
+        jax.tree.map(np.asarray, dict(variables)), graph,
+        input_shape=(1, hw, hw, 3))
+
+    x = rng.normal(size=(2, hw, hw, 3)).astype(np.float32)
+    got = np.asarray(model.apply(imported, jnp.asarray(x)))
+    want = _torch_reference(inits, x.transpose(0, 3, 1, 2), hw)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

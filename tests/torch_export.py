@@ -1,0 +1,260 @@
+"""Torch reconstructions of the released model families + ONNX export shim.
+
+Full-scale synthetic stand-ins for the released files (SURVEY.md §2.4):
+`TorchSCRFD` follows the public SCRFD-10GF configuration (ResNetV1e deep
+stem + avg-down shortcuts, stage_blocks/planes from the paper's NAS result,
+PAFPN neck, GN head with cls/box/kps branches; arXiv:2105.04714) and
+`TorchIResNet` the iResNet-50 / MobileFaceNet ArcFace trunks
+(BN-Conv-BN-PReLU-Conv-BN blocks, BN-flatten-FC-BN embedding head). Exported
+through torch.onnx (TorchScript exporter) with `export_onnx` below, they
+produce real ModelProto bytes with the same op idioms the released files
+use (GroupNorm -> Reshape/InstanceNormalization/Mul/Add, nearest Resize,
+avg-down AveragePool, NCHW flatten before Gemm), so the executor and the
+importer are exercised at full scale with random weights until the real
+files are supplied (zero-egress environment; download.sh documents the
+sources).
+"""
+from __future__ import annotations
+
+import io
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def export_onnx(model: nn.Module, x: torch.Tensor, path: str,
+                opset: int = 11, dynamic_batch: bool = True) -> None:
+    """torch.onnx.export without the `onnx` package: the exporter only
+    imports onnx in its final onnxscript-function injection pass, which is
+    a no-op for plain graphs — patch it to identity.
+
+    dynamic_batch matches the released files: reshapes become Shape-op
+    chains instead of baked batch-1 constants (the executor folds them
+    per traced batch size)."""
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = \
+        lambda model_bytes, custom_opsets: model_bytes
+    kwargs = {}
+    if dynamic_batch:
+        kwargs = {"input_names": ["input"],
+                  "dynamic_axes": {"input": {0: "batch"}}}
+    try:
+        model.eval()
+        torch.onnx.export(model, x, path, opset_version=opset, dynamo=False,
+                          **kwargs)
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+
+# --------------------------------------------------------------------- SCRFD
+
+class ConvBNReLU(nn.Sequential):
+    def __init__(self, cin, cout, k=3, s=1, relu=True):
+        layers = [nn.Conv2d(cin, cout, k, s, k // 2, bias=False),
+                  nn.BatchNorm2d(cout)]
+        if relu:
+            layers.append(nn.ReLU(inplace=False))
+        super().__init__(*layers)
+
+
+class BasicBlockV1e(nn.Module):
+    """mmdet ResNetV1e BasicBlock with avg-down shortcut."""
+
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.conv1 = ConvBNReLU(cin, cout, 3, stride)
+        self.conv2 = ConvBNReLU(cout, cout, 3, 1, relu=False)
+        self.down = None
+        if stride != 1 or cin != cout:
+            down = []
+            if stride != 1:
+                down.append(nn.AvgPool2d(stride, stride, ceil_mode=True,
+                                         count_include_pad=False))
+            down += [nn.Conv2d(cin, cout, 1, 1, 0, bias=False),
+                     nn.BatchNorm2d(cout)]
+            self.down = nn.Sequential(*down)
+
+    def forward(self, x):
+        identity = self.down(x) if self.down is not None else x
+        return F.relu(self.conv2(self.conv1(x)) + identity)
+
+
+class ResNetV1e(nn.Module):
+    """Deep-stem (3 convs) + maxpool + 4 stages; stage1 stride 1.
+
+    Returns stages 2..4 (strides 8/16/32)."""
+
+    def __init__(self, stem=56, blocks=(3, 5, 2, 3),
+                 planes=(56, 56, 144, 248)):
+        super().__init__()
+        self.stem = nn.Sequential(
+            ConvBNReLU(3, stem // 2, 3, 2), ConvBNReLU(stem // 2, stem // 2),
+            ConvBNReLU(stem // 2, stem))
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        stages = []
+        cin = stem
+        for si, (n, p) in enumerate(zip(blocks, planes)):
+            mods = []
+            for bi in range(n):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                mods.append(BasicBlockV1e(cin, p, stride))
+                cin = p
+            stages.append(nn.Sequential(*mods))
+        self.stages = nn.ModuleList(stages)
+
+    def forward(self, x):
+        x = self.maxpool(self.stem(x))
+        outs = []
+        for si, stage in enumerate(self.stages):
+            x = stage(x)
+            if si >= 1:
+                outs.append(x)
+        return outs
+
+
+class PAFPNTorch(nn.Module):
+    def __init__(self, in_channels: Sequence[int], out: int):
+        super().__init__()
+        self.lateral = nn.ModuleList(
+            [nn.Conv2d(c, out, 1) for c in in_channels])
+        self.fpn = nn.ModuleList(
+            [nn.Conv2d(out, out, 3, padding=1) for _ in in_channels])
+        self.down = nn.ModuleList(
+            [nn.Conv2d(out, out, 3, 2, 1) for _ in in_channels[1:]])
+        self.pafpn = nn.ModuleList(
+            [nn.Conv2d(out, out, 3, padding=1) for _ in in_channels[1:]])
+
+    def forward(self, feats: List[torch.Tensor]):
+        lats = [l(f) for l, f in zip(self.lateral, feats)]
+        for i in range(len(lats) - 1, 0, -1):
+            lats[i - 1] = lats[i - 1] + F.interpolate(
+                lats[i], scale_factor=2.0, mode="nearest")
+        outs = [f(l) for f, l in zip(self.fpn, lats)]
+        for i in range(len(outs) - 1):
+            outs[i + 1] = self.pafpn[i](self.down[i](outs[i]) + outs[i + 1])
+        return outs
+
+
+class SCRFDHeadTorch(nn.Module):
+    """Stacked conv+GN+ReLU tower shared across levels; cls/box/kps convs."""
+
+    def __init__(self, cin: int, feat: int, stacks: int, anchors: int = 2,
+                 kps: int = 5):
+        super().__init__()
+        tower = []
+        for i in range(stacks):
+            tower.append(nn.Conv2d(cin if i == 0 else feat, feat, 3,
+                                   padding=1, bias=False))
+            tower.append(nn.GroupNorm(16, feat))
+            tower.append(nn.ReLU(inplace=False))
+        self.tower = nn.Sequential(*tower)
+        self.cls = nn.Conv2d(feat, anchors * 1, 3, padding=1)
+        self.box = nn.Conv2d(feat, anchors * 4, 3, padding=1)
+        self.kps = nn.Conv2d(feat, anchors * kps * 2, 3, padding=1)
+
+    def forward(self, x, scale: torch.Tensor):
+        t = self.tower(x)
+        b = x.shape[0]
+        s = torch.sigmoid(self.cls(t))
+        d = self.box(t) * scale
+        k = self.kps(t)
+        # (B, A*C, H, W) -> (B, H*W*A, C), the released 9-output layout
+        def to_nc(v, c):
+            a = v.shape[1] // c
+            return v.permute(0, 2, 3, 1).reshape(b, -1, c)
+        return to_nc(s, 1), to_nc(d, 4), to_nc(k, 10)
+
+
+class TorchSCRFD(nn.Module):
+    """Outputs the 9-tensor [score x3, bbox x3, kps x3] contract
+    (/root/reference/models/scrfd.py:89-94)."""
+
+    def __init__(self, stem=56, blocks=(3, 5, 2, 3),
+                 planes=(56, 56, 144, 248), neck=56, head_feat=80,
+                 head_stacks=3):
+        super().__init__()
+        self.backbone = ResNetV1e(stem, blocks, planes)
+        self.neck = PAFPNTorch(planes[1:], neck)
+        self.head = SCRFDHeadTorch(neck, head_feat, head_stacks)
+        self.scales = nn.Parameter(torch.ones(3))
+
+    def forward(self, x):
+        feats = self.neck(self.backbone(x))
+        scores, boxes, kps = [], [], []
+        for li, f in enumerate(feats):
+            s, d, k = self.head(f, self.scales[li])
+            scores.append(s)
+            boxes.append(d)
+            kps.append(k)
+        return tuple(scores + boxes + kps)
+
+
+# ------------------------------------------------------------------- ArcFace
+
+class IBasicBlock(nn.Module):
+    """iResNet block: BN-Conv-BN-PReLU-Conv-BN (+1x1-conv shortcut)."""
+
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.bn1 = nn.BatchNorm2d(cin)
+        self.conv1 = nn.Conv2d(cin, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.prelu = nn.PReLU(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, stride, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.down = None
+        if stride != 1 or cin != cout:
+            self.down = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        identity = self.down(x) if self.down is not None else x
+        y = self.bn3(self.conv2(self.prelu(self.bn2(self.conv1(self.bn1(x))))))
+        return y + identity
+
+
+class TorchIResNet(nn.Module):
+    """iResNet-style ArcFace trunk (w600k_r50 = blocks (3,4,14,3))."""
+
+    def __init__(self, blocks=(3, 4, 14, 3), planes=(64, 128, 256, 512),
+                 emb=512, fp16_bn=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, planes[0], 3, 1, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes[0])
+        self.prelu = nn.PReLU(planes[0])
+        layers = []
+        cin = planes[0]
+        for n, p in zip(blocks, planes):
+            for bi in range(n):
+                layers.append(IBasicBlock(cin, p, 2 if bi == 0 else 1))
+                cin = p
+        self.body = nn.Sequential(*layers)
+        self.bn2 = nn.BatchNorm2d(planes[-1])
+        self.fc = nn.Linear(planes[-1] * 7 * 7, emb)
+        self.features = nn.BatchNorm1d(emb)
+
+    def forward(self, x):
+        x = self.prelu(self.bn1(self.conv1(x)))
+        x = self.bn2(self.body(x))
+        x = torch.flatten(x, 1)
+        return self.features(self.fc(x))
+
+
+def seeded(model: nn.Module, seed: int = 0) -> nn.Module:
+    """Deterministic nontrivial weights (BN stats included)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        for name, b in model.named_buffers():
+            if name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=g) * 0.5 + 0.75)
+            elif name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=g) * 0.1)
+    return model.eval()
