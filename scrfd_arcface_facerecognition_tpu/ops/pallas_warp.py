@@ -92,7 +92,9 @@ def prepare_warp_params(matrices: jnp.ndarray, frame_idx: jnp.ndarray,
 
     # level selection: full-res when the window covers it, else the canvas
     # (frames narrower than the x-window or shorter than a band can't host
-    # level 0; the 640-canvas always can)
+    # level 0; the 640-canvas always can). warp_crops_pallas pads the plane
+    # minor dim to the 128-lane alignment Mosaic requires, and the level-0
+    # window ox+PW <= frame width only ever reads real pixels.
     frame_ok = (frame_hw[1] >= PW) & (frame_hw[0] >= BAND_SRC)
     level = jnp.where((sigma0 <= SIGMA_MAX) & frame_ok, 0, 1)
     lam = jnp.where(level == 0, 1.0, det_scale)
@@ -254,6 +256,20 @@ def warp_crops_pallas(frames_planar: jnp.ndarray, canvas_planar: jnp.ndarray,
     f = params.iparams.shape[0]
     ip = params.iparams[params.order]
     fp = params.fparams[params.order]
+
+    # Mosaic requires 128-aligned minor dims for the plane DMAs; pad the
+    # source widths (faces preferring level 0 on an unalignable frame are
+    # fallback-flagged by prepare_warp_params, so padded lanes are only
+    # read under the "force" policy, which documents the degradation).
+    def pad_lanes(p):
+        w = p.shape[-1]
+        pad = (-w) % 128
+        if pad:
+            p = jnp.pad(p, [(0, 0)] * (p.ndim - 1) + [(0, pad)])
+        return p
+
+    frames_planar = pad_lanes(frames_planar)
+    canvas_planar = pad_lanes(canvas_planar)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

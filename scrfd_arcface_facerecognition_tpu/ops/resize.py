@@ -87,6 +87,37 @@ def letterbox_plan(frame_hw: Tuple[int, int],
                          new_hw=(new_h, new_w), det_scale=det_scale)
 
 
+def tight_letterbox_plan(frame_hw: Tuple[int, int],
+                         model_hw: Tuple[int, int] = (640, 640),
+                         multiple: int = 64,
+                         min_hw: Tuple[int, int] = (64, 512)) -> LetterboxPlan:
+    """Letterbox plan whose canvas trims the all-zero pad band to the next
+    `multiple` (e.g. 1080p -> (384, 640) instead of (640, 640)).
+
+    Same det_scale and resized content as the reference's square canvas
+    (scrfd.py:125-138) — SCRFD is fully convolutional, so this stops
+    spending MXU cycles convolving a contentless pad region (44% of the
+    canvas for 16:9 video). NOT bit-exact: normalization maps the
+    zero-pixel pad to the constant (0-127.5)/128 = -0.996, so the trim
+    swaps part of that band for conv zero-padding and a halo drifts into
+    content rows at the coarse strides — measured <= 2e-3 on scores /
+     0.5 stride-units on boxes (test_tight_canvas_agrees_with_square),
+    noise at detection level. The production pipeline takes the trim
+    (FacePipeline tight_canvas=True); the single-image reference API does
+    not (pipeline/detector.py).
+    """
+    full = letterbox_plan(frame_hw, model_hw)
+    nh, nw = full.new_hw
+    # min_hw floors the canvas at the Pallas warp kernel's envelope: its
+    # pyramid level 1 needs >= BAND_SRC rows and a PW-lane x-window
+    # (ops/pallas_warp.py) — portrait frames would otherwise trim the
+    # canvas narrower than the window.
+    mh = min(full.model_hw[0], max(min_hw[0], -(-nh // multiple) * multiple))
+    mw = min(full.model_hw[1], max(min_hw[1], -(-nw // multiple) * multiple))
+    return LetterboxPlan(frame_hw=full.frame_hw, model_hw=(mh, mw),
+                         new_hw=full.new_hw, det_scale=full.det_scale)
+
+
 def letterbox(frames: jnp.ndarray, plan: LetterboxPlan) -> jnp.ndarray:
     """(..., H, W, C) frames -> (..., model_h, model_w, C) float32 canvas.
 

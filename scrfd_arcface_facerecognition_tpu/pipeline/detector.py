@@ -116,7 +116,7 @@ def detect_batch(apply_fn, variables, frames: jnp.ndarray, *,
     matrices = _ops.estimate_norm(kps_c.reshape(b * k, 5, 2))
     wp = _pw.prepare_warp_params(
         matrices, jnp.repeat(jnp.arange(b, dtype=jnp.int32), k),
-        plan.frame_hw, plan.det_scale)
+        plan.frame_hw, plan.det_scale, canvas_hw=plan.model_hw)
     n_fb = jnp.sum(wp.fallback & mask.reshape(-1)).astype(jnp.int32)
     total = jnp.sum(mask).astype(jnp.int32)
     return Detections(boxes=det_c[..., :4], scores=det_c[..., 4],
@@ -137,13 +137,17 @@ class Detector:
                  conf_thres: float = 0.5, iou_thres: float = 0.4,
                  pre_nms: int = 256, max_det: int = 64,
                  dtype: Any = jnp.float32, seed: int = 0,
-                 s2d_stem: bool = True, onnx_path: Optional[str] = None):
+                 s2d_stem: bool = True, onnx_path: Optional[str] = None,
+                 tight_canvas: bool = False):
         self.variant = variant
         self.input_size = (input_size[1], input_size[0])  # store as (h, w)
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
         self.pre_nms = pre_nms
         self.max_det = max_det
+        # False: exact square-canvas semantics (reference parity for the
+        # single-image API); FacePipeline turns the trim on for throughput.
+        self.tight_canvas = tight_canvas
         if onnx_path is not None:
             # Graph-driven path: the released .onnx IS the model
             # (numerical agreement with the file is structural).
@@ -166,7 +170,9 @@ class Detector:
     def _fn(self, frame_hw: Tuple[int, int], max_num: int, metric: str):
         key = (frame_hw, max_num, metric)
         if key not in self._jitted:
-            plan = ops.letterbox_plan(frame_hw, self.input_size)
+            plan = (ops.tight_letterbox_plan(frame_hw, self.input_size)
+                    if self.tight_canvas else
+                    ops.letterbox_plan(frame_hw, self.input_size))
             fn = functools.partial(
                 detect_batch, self.model.apply,
                 plan=plan, conf_thres=self.conf_thres,

@@ -50,9 +50,13 @@ def embed_crops_pallas(apply_fn, variables, frames: jnp.ndarray,
     from ..ops import pallas_warp as pw
 
     matrices = ops.estimate_norm(kps_flat, 112)
+    # det_scale from the canvas actually produced by detect (full square or
+    # tight-trimmed — the trimmed dim never binds, so the scale is the same)
+    canvas_hw = tuple(canvas_u8.shape[1:3])
     params = pw.prepare_warp_params(
         matrices, frame_idx, tuple(frames.shape[1:3]),
-        ops.letterbox_plan(tuple(frames.shape[1:3]), (640, 640)).det_scale)
+        ops.letterbox_plan(tuple(frames.shape[1:3]), canvas_hw).det_scale,
+        canvas_hw=canvas_hw)
     crops = pw.warp_crops_pallas(pw.planarize(frames), pw.planarize(canvas_u8),
                                  params, interpret=interpret)
     net_in = ops.normalize_image(crops, ops.ARCFACE_MEAN, ops.ARCFACE_STD)

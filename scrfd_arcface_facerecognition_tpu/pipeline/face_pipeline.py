@@ -158,7 +158,8 @@ class FacePipeline:
                  dtype: Any = jnp.float32, seed: int = 0,
                  use_pallas_warp: Optional[bool] = None,
                  det_onnx: Optional[str] = None,
-                 rec_onnx: Optional[str] = None):
+                 rec_onnx: Optional[str] = None,
+                 tight_canvas: bool = True):
         self.detector = detector or Detector(
             det_variant, conf_thres=conf_thres, iou_thres=iou_thres,
             pre_nms=pre_nms, max_det=max_det, dtype=dtype, seed=seed,
@@ -181,6 +182,10 @@ class FacePipeline:
         self.use_pallas_warp = self.pallas_policy != "off"
         self.pre_nms = pre_nms
         self.max_det = max_det
+        # Trim the all-zero letterbox pad band (44% of the canvas for 16:9
+        # video) before the conv stack; see ops.tight_letterbox_plan for
+        # the parity discussion. Reference-parity runs pass False.
+        self.tight_canvas = tight_canvas
         self.gallery_capacity = gallery_capacity
         self.names: list = []
         self._gallery = jnp.zeros((gallery_capacity, 512), jnp.float32)
@@ -216,7 +221,10 @@ class FacePipeline:
         """Stage-1 jit (detect) keyed by frame shape; stage-2 jit shared."""
         key = (frame_hw, max_num, metric)
         if key not in self._jitted:
-            plan = ops.letterbox_plan(frame_hw, self.detector.input_size)
+            plan = (ops.tight_letterbox_plan(frame_hw,
+                                             self.detector.input_size)
+                    if self.tight_canvas else
+                    ops.letterbox_plan(frame_hw, self.detector.input_size))
             det_apply = self.detector.model.apply
 
             def detect_fn(det_vars, frames):

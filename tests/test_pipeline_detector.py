@@ -134,3 +134,51 @@ def test_detector_end_to_end_smoke():
         assert kps1.shape == (len(det1), 5, 2)
         # scores sorted descending, reference ordering contract
         assert np.all(np.diff(det1[:, 4]) <= 1e-6)
+
+
+def test_tight_canvas_agrees_with_square():
+    """Tight-trimmed letterbox: same det_scale/geometry as the square
+    canvas; content-region outputs agree within a bounded drift.
+
+    Exactness is impossible: the reference normalizes the zero-pixel pad
+    band to the CONSTANT (0-127.5)/128 = -0.996, so trimming it swaps a
+    -0.996 band for conv zero-padding and a halo propagates inward at the
+    coarse strides. This test bounds that drift (scores <= 2e-3 raw,
+    boxes/kps <= 0.5 stride-units) — negligible at detection level; runs
+    needing exactness pass tight_canvas=False (see
+    ops.tight_letterbox_plan)."""
+    import jax
+    from scrfd_arcface_facerecognition_tpu.models.scrfd import (
+        SCRFDConfig, SCRFDNet)
+
+    cfg = SCRFDConfig("tiny", 8, (1, 1, 1, 1), (8, 8, 16, 16),
+                      neck_filters=8, head_stacks=0, head_filters=16)
+    model = SCRFDNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (1, 270, 480, 3),
+                                      dtype=np.uint8))
+
+    full = ops.letterbox_plan((270, 480), (128, 128))
+    tight = ops.tight_letterbox_plan((270, 480), (128, 128), multiple=32)
+    assert tight.det_scale == full.det_scale
+    assert tight.model_hw == (96, 128)     # 270/480 * 128 = 72 -> pad to 96
+    cf = np.asarray(ops.letterbox(frames, full))
+    ct = np.asarray(ops.letterbox(frames, tight))
+    np.testing.assert_array_equal(ct, cf[:, :96])   # same canvas content
+
+    of = model.apply(variables, ops.normalize_image(
+        jnp.asarray(cf), ops.SCRFD_MEAN, ops.SCRFD_STD))
+    ot = model.apply(variables, ops.normalize_image(
+        jnp.asarray(ct), ops.SCRFD_MEAN, ops.SCRFD_STD))
+
+    for li, s in enumerate((8, 16, 32)):
+        rows_c = 72 // s
+        for kind, c, tol in (("scores", 1, 2e-3), ("bboxes", 4, 0.5),
+                             ("kps", 10, 0.5)):
+            f = np.asarray(of[kind][li]).reshape(1, 128 // s, 128 // s,
+                                                 2 * c)[:, :rows_c]
+            t = np.asarray(ot[kind][li]).reshape(1, 96 // s, 128 // s,
+                                                 2 * c)[:, :rows_c]
+            assert np.abs(f - t).max() <= tol, (kind, s, np.abs(f - t).max())
