@@ -7,7 +7,8 @@ Each op documents the reference semantics it replicates (file:line in
 from .anchors import anchor_centers, scrfd_anchor_table
 from .decode import distance2bbox, distance2kps
 from .normalize import normalize_image, SCRFD_MEAN, SCRFD_STD, ARCFACE_MEAN, ARCFACE_STD
-from .resize import (resize_bilinear, letterbox, letterbox_plan,
+from .resize import (resize_bilinear, resize_bilinear_u8_exact,
+                     letterbox, letterbox_plan,
                      tight_letterbox_plan, LetterboxPlan)
 from .similarity import l2_normalize, compute_similarity, cosine_matrix, top_k_matches
 from .umeyama import umeyama_similarity, estimate_norm, ARCFACE_DST
@@ -18,7 +19,8 @@ __all__ = [
     "anchor_centers", "scrfd_anchor_table",
     "distance2bbox", "distance2kps",
     "normalize_image", "SCRFD_MEAN", "SCRFD_STD", "ARCFACE_MEAN", "ARCFACE_STD",
-    "resize_bilinear", "letterbox", "letterbox_plan",
+    "resize_bilinear", "resize_bilinear_u8_exact", "letterbox",
+    "letterbox_plan",
     "tight_letterbox_plan", "LetterboxPlan",
     "l2_normalize", "compute_similarity", "cosine_matrix", "top_k_matches",
     "umeyama_similarity", "estimate_norm", "ARCFACE_DST",

@@ -64,10 +64,19 @@ def nms_mask_blocked(boxes: jnp.ndarray, iou_thres: float,
     256 While iterations — While overhead dominated the detect stage
     (~25 ms of the 35 ms/batch) before this.
     """
+    k_in = boxes.shape[0]
+    block = min(block, k_in)
+    if k_in % block != 0:
+        # Pad the slate to the next block multiple with never-kept slots
+        # (valid=False rows neither survive nor suppress), so any pre_nms
+        # count works — callers are not required to pick block multiples.
+        k = -(-k_in // block) * block
+        boxes = jnp.pad(boxes, ((0, k - k_in), (0, 0)))
+        if valid is None:
+            valid = jnp.arange(k) < k_in
+        else:
+            valid = jnp.pad(valid, (0, k - k_in))
     k = boxes.shape[0]
-    block = min(block, k)
-    if k % block != 0:
-        raise ValueError(f"pre-NMS count {k} must be a multiple of {block}")
     iou = iou_matrix_legacy(boxes)
     if valid is None:
         valid = jnp.ones((k,), dtype=bool)
@@ -97,7 +106,7 @@ def nms_mask_blocked(boxes: jnp.ndarray, iou_thres: float,
         return keep, None
 
     keep, _ = jax.lax.scan(body, valid, jnp.arange(n_blocks))
-    return keep
+    return keep[:k_in]
 
 
 def compact_by_mask(mask: jnp.ndarray, *arrays: jnp.ndarray,

@@ -13,8 +13,11 @@ The matrices are built host-side once per (src, dst) shape pair (shapes are
 static under jit) and folded in as constants.
 
 Note on parity: cv2 resizes uint8 in fixed point (coefficients quantized to
-11 bits) and rounds to uint8; we compute in float32. The difference is below
-1 LSB per pixel and covered by test tolerances (tests/test_resize.py).
+11 bits) and rounds to uint8; the default path here computes in float32. The
+difference is below 1 LSB per pixel and covered by test tolerances
+(tests/test_ops_resize_warp.py). For bit-exactness, `resize_bilinear_u8_exact`
+reproduces cv2's integer pipeline (11-bit short coefficients, the u8 vertical
+descale `((b*(H>>4))>>16 + ... + 2) >> 2`) and is tested array_equal vs cv2.
 """
 from __future__ import annotations
 
@@ -55,6 +58,103 @@ def resize_bilinear(images: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray
     x = jnp.einsum("oh,...hwc->...owc", wy, x)
     x = jnp.einsum("pw,...owc->...opc", wx, x)
     return x
+
+
+# ----------------------------------------------------------------------
+# Exact cv2 uint8 fixed-point path
+# ----------------------------------------------------------------------
+
+_COEF_BITS = 11                       # INTER_RESIZE_COEF_BITS
+_COEF_SCALE = 1 << _COEF_BITS         # 2048
+
+
+@functools.lru_cache(maxsize=64)
+def _fixed_taps(dst_size: int, src_size: int, horizontal: bool):
+    """cv2 u8 resize taps: (idx0, idx1, a0, a1) int arrays of length dst.
+
+    Mirrors imgproc/resize.cpp coefficient setup: half-pixel mapping,
+    cvFloor, then short quantization saturate_cast<short>(coef * 2048) with
+    cvRound's round-half-to-even (np.rint matches). Border handling differs
+    by axis (verified bit-exact vs cv2 in tests): the horizontal tap setup
+    clamps the coefficient too (sx<0 -> fx=0; sx>=w-1 -> fx=0, sx=w-1),
+    while the vertical pass (resizeGeneric_ row fetch) only clips the row
+    index and KEEPS the fractional beta — border rows mix the replicated
+    row with split coefficients, which rounds differently from a single
+    2048 tap.
+    """
+    scale = src_size / dst_size
+    idx0 = np.zeros(dst_size, np.int32)
+    idx1 = np.zeros(dst_size, np.int32)
+    a0 = np.zeros(dst_size, np.int32)
+    a1 = np.zeros(dst_size, np.int32)
+    one = np.float32(1.0)
+    coef = np.float32(_COEF_SCALE)
+    for d in range(dst_size):
+        # cv2 works in float32 from this cast on; the f32-vs-double coef
+        # rounding differs by 1 LSB on ~1e-4 of pixels, so mirror it exactly.
+        fx = np.float32((d + 0.5) * scale - 0.5)
+        sx = int(np.floor(fx))
+        fx = np.float32(fx - sx)
+        if horizontal:
+            if sx < 0:
+                fx, sx = np.float32(0.0), 0
+            if sx >= src_size - 1:
+                fx, sx = np.float32(0.0), src_size - 1
+            idx0[d] = sx
+            idx1[d] = min(sx + 1, src_size - 1)
+        else:
+            idx0[d] = min(max(sx, 0), src_size - 1)
+            idx1[d] = min(max(sx + 1, 0), src_size - 1)
+        a0[d] = int(np.rint((one - fx) * coef))
+        a1[d] = int(np.rint(fx * coef))
+    return idx0, idx1, a0, a1
+
+
+def resize_bilinear_u8_exact(images: jnp.ndarray,
+                             out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(..., H, W, C) uint8 -> (..., h, w, C) uint8, bit-exact to
+    cv2.resize(INTER_LINEAR) on uint8 inputs.
+
+    cv2 resizes u8 through an integer pipeline (resize.cpp HResizeLinear /
+    VResizeLinear<uchar>): horizontal pass accumulates src*short_coef into
+    int32 rows; the u8 vertical pass then computes
+        dst = uchar(((b0*(H0>>4))>>16) + ((b1*(H1>>4))>>16) + 2) >> 2.
+    The horizontal pass fits exactly in f32 integers (<= 255*2048*2 < 2^24),
+    so it runs as the same two-matmul form as the float path; the vertical
+    descale needs true int32 shifts and runs on the VPU. Used behind the
+    `exact_u8=True` flag where bit-parity matters more than speed.
+    """
+    if images.dtype != jnp.uint8:
+        raise ValueError(f"exact u8 resize needs uint8 input, got {images.dtype}")
+    h_in, w_in = images.shape[-3], images.shape[-2]
+    h_out, w_out = out_hw
+    if h_in == 2 * h_out and w_in == 2 * w_out:
+        # cv2 silently reroutes exact 2x-down INTER_LINEAR to the INTER_AREA
+        # fast path (resize.cpp: "if is_area_fast && iscale == 2"):
+        # dst = (s00 + s01 + s10 + s11 + 2) >> 2.
+        x = images.astype(jnp.int32)
+        s = (x[..., 0::2, 0::2, :] + x[..., 0::2, 1::2, :]
+             + x[..., 1::2, 0::2, :] + x[..., 1::2, 1::2, :])
+        return ((s + 2) >> 2).astype(jnp.uint8)
+    xi0, xi1, xa0, xa1 = _fixed_taps(w_out, w_in, horizontal=True)
+    yi0, yi1, yb0, yb1 = _fixed_taps(h_out, h_in, horizontal=False)
+
+    # horizontal pass as an exact-integer f32 matmul: (w_out, w_in) matrix
+    wx = np.zeros((w_out, w_in), np.float32)
+    for d in range(w_out):
+        wx[d, xi0[d]] += xa0[d]
+        wx[d, xi1[d]] += xa1[d]
+    hrows = jnp.einsum("pw,...hwc->...hpc", jnp.asarray(wx),
+                       images.astype(jnp.float32))
+    hrows = hrows.astype(jnp.int32) >> 4                      # S >> 4
+
+    r0 = jnp.take(hrows, jnp.asarray(yi0), axis=-3)
+    r1 = jnp.take(hrows, jnp.asarray(yi1), axis=-3)
+    b0 = jnp.asarray(yb0, jnp.int32).reshape((-1, 1, 1))
+    b1 = jnp.asarray(yb1, jnp.int32).reshape((-1, 1, 1))
+    acc = ((b0 * r0) >> 16) + ((b1 * r1) >> 16)
+    out = (acc + 2) >> 2
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,13 +218,20 @@ def tight_letterbox_plan(frame_hw: Tuple[int, int],
                          new_hw=full.new_hw, det_scale=full.det_scale)
 
 
-def letterbox(frames: jnp.ndarray, plan: LetterboxPlan) -> jnp.ndarray:
+def letterbox(frames: jnp.ndarray, plan: LetterboxPlan,
+              exact_u8: bool = False) -> jnp.ndarray:
     """(..., H, W, C) frames -> (..., model_h, model_w, C) float32 canvas.
 
     Resized content sits at the top-left; padding is zeros (scrfd.py:137-138).
+    exact_u8=True routes uint8 frames through the bit-exact cv2 fixed-point
+    resize (resize_bilinear_u8_exact) before the float conversion.
     """
     new_h, new_w = plan.new_hw
     mh, mw = plan.model_hw
-    resized = resize_bilinear(frames, (new_h, new_w))
+    if exact_u8 and frames.dtype == jnp.uint8:
+        resized = resize_bilinear_u8_exact(frames, (new_h, new_w))
+        resized = resized.astype(jnp.float32)
+    else:
+        resized = resize_bilinear(frames, (new_h, new_w))
     pad = [(0, 0)] * (resized.ndim - 3) + [(0, mh - new_h), (0, mw - new_w), (0, 0)]
     return jnp.pad(resized, pad)

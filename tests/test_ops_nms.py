@@ -104,8 +104,19 @@ def test_blocked_nms_matches_sequential():
         np.testing.assert_array_equal(m1, m2, err_msg=f"trial {trial}")
 
 
-def test_blocked_nms_rejects_bad_size():
-    import jax.numpy as jnp
-    import pytest
-    with pytest.raises(ValueError):
-        ops.nms_mask_blocked(jnp.zeros((100, 4)), 0.4)
+def test_blocked_nms_non_multiple_sizes():
+    """Non-block-multiple slates pad internally and match nms_mask exactly."""
+    rng = np.random.default_rng(7)
+    for n in (100, 33, 5, 31, 257):
+        dets = _random_dets(rng, n, wh=400)
+        m1 = np.asarray(ops.nms_mask(jnp.asarray(dets[:, :4]), 0.4))
+        m2 = np.asarray(ops.nms_mask_blocked(jnp.asarray(dets[:, :4]), 0.4))
+        assert m2.shape == (n,)
+        np.testing.assert_array_equal(m1, m2, err_msg=f"n={n}")
+        # with an explicit validity mask too
+        valid = rng.random(n) > 0.2
+        m1 = np.asarray(ops.nms_mask(jnp.asarray(dets[:, :4]), 0.4,
+                                     jnp.asarray(valid)))
+        m2 = np.asarray(ops.nms_mask_blocked(jnp.asarray(dets[:, :4]), 0.4,
+                                             jnp.asarray(valid)))
+        np.testing.assert_array_equal(m1, m2, err_msg=f"n={n} masked")

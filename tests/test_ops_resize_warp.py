@@ -25,6 +25,53 @@ def test_resize_matches_cv2_uint8_within_quantization():
     assert np.max(np.abs(got - want)) <= 1.0 + 1e-4
 
 
+def test_resize_u8_exact_bit_parity_with_cv2():
+    """resize_bilinear_u8_exact reproduces cv2's u8 fixed-point pipeline
+    array_equal — up/down scale, odd sizes, identity-ish, and the exact-2x
+    case cv2 silently reroutes to its INTER_AREA fast path."""
+    rng = np.random.default_rng(2)
+    cases = [((108, 192), (36, 64)), ((90, 160), (180, 320)),
+             ((77, 123), (53, 99)), ((64, 64), (64, 64)),
+             ((112, 112), (56, 56)),      # exact 2x down -> AREA fast path
+             ((1080, 1920), (360, 640)),
+             ((7, 5), (13, 11))]
+    for (h, w), (oh, ow) in cases:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        want = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        got = np.asarray(ops.resize_bilinear_u8_exact(jnp.asarray(img), (oh, ow)))
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"{(h, w)}->{(oh, ow)}")
+
+
+def test_resize_u8_exact_on_reference_fixtures():
+    """Bit-parity vs cv2 on real reference crops (odd sizes, real content)."""
+    import glob
+    files = sorted(glob.glob("/root/reference/image_cache/*.jpg"))[::60]
+    checked = 0
+    for f in files:
+        img = cv2.imread(f)
+        if img is None:
+            continue
+        plan = ops.letterbox_plan(img.shape[:2], (640, 640))
+        nh, nw = plan.new_hw
+        got = np.asarray(ops.resize_bilinear_u8_exact(jnp.asarray(img), (nh, nw)))
+        want = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_array_equal(got, want, err_msg=f)
+        checked += 1
+    assert checked >= 3
+
+
+def test_letterbox_exact_u8_flag():
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, size=(1080, 1920, 3), dtype=np.uint8)
+    plan = ops.letterbox_plan((1080, 1920), (640, 640))
+    new_h, new_w = plan.new_hw
+    want = cv2.resize(frame, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    got = np.asarray(ops.letterbox(jnp.asarray(frame), plan, exact_u8=True))
+    np.testing.assert_array_equal(got[:new_h, :new_w], want.astype(np.float32))
+    assert (got[new_h:] == 0).all() and (got[:, new_w:] == 0).all()
+
+
 def test_letterbox_geometry_matches_reference():
     for frame_hw in [(1080, 1920), (1920, 1080), (640, 640), (480, 640), (720, 576)]:
         plan = ops.letterbox_plan(frame_hw, (640, 640))
