@@ -27,9 +27,27 @@ import numpy as np
 TARGET_FPS = 500.0
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache shared with __graft_entry__.entry():
+    the driver's compile-check hits this cache instead of paying the
+    multi-minute remote compile again."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(_REPO_ROOT, ".jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
+
 def main():
     import jax.numpy as jnp
     from scrfd_arcface_facerecognition_tpu.pipeline import FacePipeline
+
+    _enable_compile_cache()
 
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "3"))

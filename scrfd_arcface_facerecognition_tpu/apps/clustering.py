@@ -214,23 +214,12 @@ class SmartFaceEngine:
         out = [(None, "download_failed")] * len(sources)
         if not idxs:
             return out
-        # Shape bucketing: web images arrive in arbitrary shapes; a compiled
-        # program per shape is pathological on TPU. Zero-pad bottom/right to
-        # 256-multiples so the batch lands in a handful of compiled buckets.
-        # Face coordinates are unaffected (padding is past the content); the
-        # letterbox scale shifts slightly vs exact-shape processing — the
-        # accuracy-critical warp still samples original pixels.
-        def pad_to_bucket(im):
-            h, w = im.shape[:2]
-            bh, bw = -(-h // 256) * 256, -(-w // 256) * 256
-            if (bh, bw) == (h, w):
-                return im
-            buf = np.zeros((bh, bw, im.shape[2]), im.dtype)
-            buf[:h, :w] = im
-            return buf
-
-        face_lists = self.app.get_batch(
-            [pad_to_bucket(loaded[i][0]) for i in idxs])
+        # Shape bucketing happens inside FaceAnalysis.get_batch: web images
+        # of arbitrary shapes merge into 256-multiple padded buckets served
+        # by the dynamic-letterbox program, whose per-image geometry rides
+        # in as data — results are numerically identical to exact-shape
+        # processing (ops.letterbox_matrices; bucket-parity test).
+        face_lists = self.app.get_batch([loaded[i][0] for i in idxs])
         for i, faces in zip(idxs, face_lists):
             data, reason = self._gate_face(self._best_face(faces), sources[i])
             if data is not None and loaded[i][1]:

@@ -16,6 +16,7 @@ from typing import Any, List, Optional, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+from .. import ops
 from ..pipeline import Detector, Embedder
 
 
@@ -76,38 +77,82 @@ class FaceAnalysis:
         """Detect + align + embed every face in one BGR image."""
         return self.get_batch([np.asarray(image)], max_num=max_num)[0]
 
+    # shape-groups at least this large run the static per-shape program
+    # (video / repeated-shape workloads); smaller groups merge into padded
+    # buckets served by ONE dynamic program per bucket shape, with the
+    # letterbox geometry passed as data — exact-shape numerics either way.
+    MIN_STATIC_GROUP = 8
+    BUCKET = 256
+
     def get_batch(self, images, max_num: int = 0) -> List[List[Face]]:
         """Batch version: images of identical shape run as ONE device batch
-        (detect + embed fused); mixed shapes fall back to per-shape groups.
-        """
+        (detect + embed fused); mixed shapes merge into shape buckets served
+        by the dynamic-letterbox program (numerically identical to
+        exact-shape processing — ops.letterbox_matrices)."""
         images = [np.asarray(im) for im in images]
         out: List[Optional[List[Face]]] = [None] * len(images)
         by_shape = {}
         for i, im in enumerate(images):
             by_shape.setdefault(im.shape, []).append(i)
-        chunked = []
+
+        static_chunks, dyn_by_bucket = [], {}
         for shape, idxs in by_shape.items():
-            for c in range(0, len(idxs), self.chunk):
-                chunked.append((shape, idxs[c:c + self.chunk]))
-        for shape, idxs in chunked:
+            if len(idxs) >= self.MIN_STATIC_GROUP or len(by_shape) == 1:
+                for c in range(0, len(idxs), self.chunk):
+                    static_chunks.append(idxs[c:c + self.chunk])
+            else:
+                b = self.BUCKET
+                bh = -(-shape[0] // b) * b
+                bw = -(-shape[1] // b) * b
+                dyn_by_bucket.setdefault((bh, bw), []).extend(idxs)
+
+        for idxs in static_chunks:
             batch = np.stack([images[i] for i in idxs])
             res = self._pipe(jnp.asarray(batch), max_num=max_num)
-            boxes = np.asarray(res.boxes)
-            scores = np.asarray(res.scores)
-            kps = np.asarray(res.kps)
-            valid = np.asarray(res.valid)
-            embs = np.asarray(res.embeddings)  # L2-normalized
-            for bi, i in enumerate(idxs):
-                faces = []
-                for k in range(boxes.shape[1]):
-                    if not valid[bi, k]:
-                        continue
-                    norm = embs[bi, k]
-                    # raw embedding == normed up to scale; every consumer of
-                    # `.embedding` uses scale-invariant cosine
-                    # (compare_face_from_api.py:157-171)
-                    faces.append(Face(bbox=boxes[bi, k], kps=kps[bi, k],
-                                      det_score=float(scores[bi, k]),
-                                      embedding=norm, normed_embedding=norm))
-                out[i] = faces
+            self._scatter_faces(res, idxs, out)
+
+        model_hw = self.detector.input_size
+        for (bh, bw), idxs in dyn_by_bucket.items():
+            # matrices are (B, 640, bh)+(B, 640, bw) f32 — chunk smaller
+            # than the static path to bound their HBM footprint
+            step = max(1, min(self.chunk, 8))
+            for c in range(0, len(idxs), step):
+                part = idxs[c:c + step]
+                frames = np.zeros((len(part), bh, bw, 3), np.uint8)
+                wys, wxs, scales, hws = [], [], [], []
+                for bi, i in enumerate(part):
+                    im = images[i]
+                    h, w = im.shape[:2]
+                    frames[bi, :h, :w] = im
+                    wy, wx, s = ops.letterbox_matrices((h, w), (bh, bw),
+                                                       model_hw)
+                    wys.append(wy)
+                    wxs.append(wx)
+                    scales.append(s)
+                    hws.append((h, w))
+                res = self._pipe.call_dynamic(
+                    frames, np.stack(wys), np.stack(wxs),
+                    np.asarray(scales, np.float32),
+                    np.asarray(hws, np.int32), max_num=max_num)
+                self._scatter_faces(res, part, out)
         return out  # type: ignore[return-value]
+
+    def _scatter_faces(self, res, idxs, out) -> None:
+        boxes = np.asarray(res.boxes)
+        scores = np.asarray(res.scores)
+        kps = np.asarray(res.kps)
+        valid = np.asarray(res.valid)
+        embs = np.asarray(res.embeddings)  # L2-normalized
+        for bi, i in enumerate(idxs):
+            faces = []
+            for k in range(boxes.shape[1]):
+                if not valid[bi, k]:
+                    continue
+                norm = embs[bi, k]
+                # raw embedding == normed up to scale; every consumer of
+                # `.embedding` uses scale-invariant cosine
+                # (compare_face_from_api.py:157-171)
+                faces.append(Face(bbox=boxes[bi, k], kps=kps[bi, k],
+                                  det_score=float(scores[bi, k]),
+                                  embedding=norm, normed_embedding=norm))
+            out[i] = faces

@@ -8,7 +8,8 @@ from .anchors import anchor_centers, scrfd_anchor_table
 from .decode import distance2bbox, distance2kps
 from .normalize import normalize_image, SCRFD_MEAN, SCRFD_STD, ARCFACE_MEAN, ARCFACE_STD
 from .resize import (resize_bilinear, resize_bilinear_u8_exact,
-                     letterbox, letterbox_plan,
+                     letterbox, letterbox_plan, letterbox_matrices,
+                     letterbox_dynamic,
                      tight_letterbox_plan, LetterboxPlan)
 from .similarity import l2_normalize, compute_similarity, cosine_matrix, top_k_matches
 from .umeyama import umeyama_similarity, estimate_norm, ARCFACE_DST
@@ -20,7 +21,7 @@ __all__ = [
     "distance2bbox", "distance2kps",
     "normalize_image", "SCRFD_MEAN", "SCRFD_STD", "ARCFACE_MEAN", "ARCFACE_STD",
     "resize_bilinear", "resize_bilinear_u8_exact", "letterbox",
-    "letterbox_plan",
+    "letterbox_plan", "letterbox_matrices", "letterbox_dynamic",
     "tight_letterbox_plan", "LetterboxPlan",
     "l2_normalize", "compute_similarity", "cosine_matrix", "top_k_matches",
     "umeyama_similarity", "estimate_norm", "ARCFACE_DST",

@@ -218,6 +218,45 @@ def tight_letterbox_plan(frame_hw: Tuple[int, int],
                          new_hw=full.new_hw, det_scale=full.det_scale)
 
 
+def letterbox_matrices(frame_hw: Tuple[int, int],
+                       padded_hw: Tuple[int, int],
+                       model_hw: Tuple[int, int] = (640, 640)):
+    """Full per-image letterbox matrices for heterogeneous batching.
+
+    Returns (wy (model_h, padded_h), wx (model_w, padded_w), det_scale):
+    the interpolation taps are built from the ORIGINAL frame_hw, rows past
+    the resized content are all-zero (they produce the zero letterbox pad),
+    and columns past the content are never tapped — so applying these to a
+    zero-padded (padded_hw) buffer yields exactly the canvas that
+    exact-shape letterboxing of the original image would (adding zero terms
+    is exact in f32). This is what makes shape-bucketed web ingestion
+    numerically identical to per-shape processing (apps/clustering.py).
+    """
+    plan = letterbox_plan(frame_hw, model_hw)
+    nh, nw = plan.new_hw
+    fh, fw = frame_hw
+    ph, pw = padded_hw
+    mh, mw = model_hw
+    if ph < fh or pw < fw:
+        raise ValueError(f"padded {padded_hw} smaller than frame {frame_hw}")
+    wy = np.zeros((mh, ph), np.float32)
+    wy[:nh, :fh] = _interp_matrix(nh, fh)
+    wx = np.zeros((mw, pw), np.float32)
+    wx[:nw, :fw] = _interp_matrix(nw, fw)
+    return wy, wx, plan.det_scale
+
+
+def letterbox_dynamic(frames: jnp.ndarray, wy: jnp.ndarray,
+                      wx: jnp.ndarray) -> jnp.ndarray:
+    """(B, Hp, Wp, C) frames + per-image matrices -> (B, mh, mw, C) f32.
+
+    wy: (B, mh, Hp); wx: (B, mw, Wp) from letterbox_matrices, stacked.
+    """
+    x = frames.astype(jnp.float32)
+    x = jnp.einsum("boh,bhwc->bowc", wy, x)
+    return jnp.einsum("bpw,bowc->bopc", wx, x)
+
+
 def letterbox(frames: jnp.ndarray, plan: LetterboxPlan,
               exact_u8: bool = False) -> jnp.ndarray:
     """(..., H, W, C) frames -> (..., model_h, model_w, C) float32 canvas.

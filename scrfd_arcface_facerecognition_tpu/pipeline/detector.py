@@ -44,6 +44,8 @@ class Detections(NamedTuple):
     canvas: Optional[jnp.ndarray] = None
     n_warp_fallback: Optional[jnp.ndarray] = None
     host_counts: Optional[jnp.ndarray] = None
+    det_scale: Optional[jnp.ndarray] = None  # (B,) per-image letterbox scale
+    # (set by detect_batch_dynamic; None -> static plan scale applies)
 
 
 def decode_outputs(outputs: Dict[str, list], input_size: Tuple[int, int],
@@ -123,6 +125,70 @@ def detect_batch(apply_fn, variables, frames: jnp.ndarray, *,
                       kps=kps_c, valid=mask, count=count,
                       canvas=canvas_u8, n_warp_fallback=n_fb,
                       host_counts=jnp.stack([total, n_fb]))
+
+
+def detect_batch_dynamic(apply_fn, variables, frames: jnp.ndarray,
+                         wy: jnp.ndarray, wx: jnp.ndarray,
+                         inv_scale: jnp.ndarray, frame_hw_arr: jnp.ndarray, *,
+                         model_hw: Tuple[int, int], conf_thres: float,
+                         iou_thres: float, pre_nms: int, max_det: int,
+                         max_num: int = 0, metric: str = "max") -> Detections:
+    """Heterogeneous-shape detect: per-image letterbox geometry as DATA.
+
+    frames: (B, Hp, Wp, 3) uint8, each image zero-padded past its content;
+    wy (B, mh, Hp) / wx (B, mw, Wp): per-image full letterbox matrices from
+    ops.letterbox_matrices (zero rows produce the pad band, taps are built
+    from each ORIGINAL shape); inv_scale: (B,) 1/det_scale per image;
+    frame_hw_arr: (B, 2) original (h, w) per image (metric='default'
+    centers). The canvas content is numerically identical to exact-shape
+    letterboxing, so one compiled program per PADDED bucket shape serves
+    arbitrarily shaped web images with no accuracy drift
+    (tests/test_apps_clustering.py bucket-parity test).
+    """
+    canvas = ops.letterbox_dynamic(frames, wy, wx)           # (B, mh, mw, 3)
+    net_in = ops.normalize_image(canvas, ops.SCRFD_MEAN, ops.SCRFD_STD)
+    outputs = apply_fn(variables, net_in)
+    scores, boxes, kps = decode_outputs(outputs, model_hw)
+
+    top_scores, top_idx = jax.lax.top_k(scores, pre_nms)       # (B, K)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_kps = jnp.take_along_axis(kps, top_idx[..., None, None], axis=1)
+
+    top_boxes = top_boxes * inv_scale[:, None, None]
+    top_kps = top_kps * inv_scale[:, None, None, None]
+    valid = top_scores >= conf_thres
+
+    def per_frame(boxes_f, scores_f, kps_f, valid_f, fhw):
+        keep = ops.nms_mask_blocked(boxes_f, iou_thres, valid_f)
+        det = jnp.concatenate([boxes_f, scores_f[:, None]], axis=1)
+        count, mask, det_c, kps_c = ops.nms.compact_by_mask(
+            keep, det, kps_f, max_out=max_det)
+        if 0 < max_num < max_det:
+            det_c, kps_c, mask = ops.select_top_faces(
+                det_c, kps_c, mask, max_num, metric, fhw)
+            count = jnp.minimum(count, max_num)
+        return det_c, kps_c, mask, count
+
+    det_c, kps_c, mask, count = jax.vmap(per_frame)(
+        top_boxes, top_scores, top_kps, valid, frame_hw_arr)
+
+    canvas_u8 = jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8)
+    from ..ops import pallas_warp as _pw
+
+    b, k = mask.shape
+    matrices = ops.estimate_norm(kps_c.reshape(b * k, 5, 2))
+    frame_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+    det_scale_face = (1.0 / inv_scale)[frame_idx]   # per-face, broadcasts
+    wp = _pw.prepare_warp_params(
+        matrices, frame_idx, (frames.shape[1], frames.shape[2]),
+        det_scale_face, canvas_hw=model_hw)
+    n_fb = jnp.sum(wp.fallback & mask.reshape(-1)).astype(jnp.int32)
+    total = jnp.sum(mask).astype(jnp.int32)
+    return Detections(boxes=det_c[..., :4], scores=det_c[..., 4],
+                      kps=kps_c, valid=mask, count=count,
+                      canvas=canvas_u8, n_warp_fallback=n_fb,
+                      host_counts=jnp.stack([total, n_fb]),
+                      det_scale=1.0 / inv_scale)
 
 
 class Detector:

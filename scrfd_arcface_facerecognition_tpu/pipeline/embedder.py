@@ -40,22 +40,30 @@ def embed_crops(apply_fn, variables, frames: jnp.ndarray, kps_flat: jnp.ndarray,
 def embed_crops_pallas(apply_fn, variables, frames: jnp.ndarray,
                        canvas_u8: jnp.ndarray, kps_flat: jnp.ndarray,
                        frame_idx: jnp.ndarray, valid_flat: jnp.ndarray, *,
-                       l2: bool = True, interpret: bool = False) -> jnp.ndarray:
+                       l2: bool = True, interpret: bool = False,
+                       det_scale=None) -> jnp.ndarray:
     """embed_crops with the Pallas multi-pass warp instead of XLA gather.
 
     Requires every crop within the kernel envelope (the caller routes
     batches with envelope violations to embed_crops); canvas_u8 is the
     detect stage's letterbox canvas (large-face pyramid level).
+    det_scale: per-image (B,) canvas scales (heterogeneous-shape path);
+    None derives the shared scale from the frame/canvas shapes.
     """
     from ..ops import pallas_warp as pw
 
     matrices = ops.estimate_norm(kps_flat, 112)
-    # det_scale from the canvas actually produced by detect (full square or
-    # tight-trimmed — the trimmed dim never binds, so the scale is the same)
     canvas_hw = tuple(canvas_u8.shape[1:3])
+    if det_scale is None:
+        # det_scale from the canvas actually produced by detect (full square
+        # or tight-trimmed — the trimmed dim never binds, so the scale is
+        # the same)
+        scale = ops.letterbox_plan(tuple(frames.shape[1:3]),
+                                   canvas_hw).det_scale
+    else:
+        scale = det_scale[frame_idx]   # per-face, broadcasts in the params
     params = pw.prepare_warp_params(
-        matrices, frame_idx, tuple(frames.shape[1:3]),
-        ops.letterbox_plan(tuple(frames.shape[1:3]), canvas_hw).det_scale,
+        matrices, frame_idx, tuple(frames.shape[1:3]), scale,
         canvas_hw=canvas_hw)
     crops = pw.warp_crops_pallas(pw.planarize(frames), pw.planarize(canvas_u8),
                                  params, interpret=interpret)

@@ -88,7 +88,8 @@ def embed_and_match_bucketed(emb_apply, emb_vars, frames, det: Detections,
 
         emb_sel = embed_crops_pallas(
             emb_apply, emb_vars, frames, det.canvas, kps_sel, frame_idx,
-            valid_sel, interpret=interpret)                         # (F, 512)
+            valid_sel, interpret=interpret,
+            det_scale=det.det_scale)                                # (F, 512)
     else:
         emb_sel = embed_crops(emb_apply, emb_vars, frames, kps_sel, frame_idx,
                               valid_sel)                            # (F, 512)
@@ -305,29 +306,53 @@ class FacePipeline:
             frames = jnp.asarray(np.asarray(frames))
         if frames.ndim == 3:
             frames = frames[None]
-        det_vars, emb_vars, gallery, gallery_valid = self._placed(frames)
+        placed = self._placed(frames)
+        det_vars, emb_vars, gallery, gallery_valid = placed
         detect_fn, em_fn = self._fn(tuple(frames.shape[1:3]), max_num, metric)
         det = detect_fn(det_vars, frames)
         if bucketed:
             # one readback: real face count + warp-envelope violations ->
             # smallest compiled bucket and pallas-vs-XLA warp path
-            count, n_fallback = self._read_counts(det)
-            cap = det.valid.shape[0] * det.valid.shape[1]
-            bucket = self._round_bucket(count, cap)
-            use_pallas = (det.canvas is not None
-                          and (self.pallas_policy == "force"
-                               or (self.pallas_policy == "auto"
-                                   and n_fallback == 0)))
-            if bucket == 0:
-                b, k = det.valid.shape
-                zeros = jnp.zeros((b, k, 512), jnp.float32)
-                return PipelineOutput(
-                    boxes=det.boxes, scores=det.scores, kps=det.kps,
-                    valid=det.valid, count=det.count, embeddings=zeros,
-                    match_idx=jnp.full((b, k), -1, jnp.int32),
-                    match_sim=jnp.zeros((b, k), jnp.float32))
-            em_fn = self._bucket_fn(bucket, use_pallas)
+            return self._finish(frames, det, placed)
         return em_fn(emb_vars, frames, det, gallery, gallery_valid)
+
+    def call_dynamic(self, frames, wy, wx, det_scales, frame_hws,
+                     max_num: int = 0, metric: str = "max") -> PipelineOutput:
+        """Heterogeneous-shape batch: ONE compiled program per PADDED shape.
+
+        frames: (B, Hp, Wp, 3) uint8, each image zero-padded bottom/right
+        past its content; wy (B, mh, Hp) / wx (B, mw, Wp): stacked per-image
+        full letterbox matrices (ops.letterbox_matrices); det_scales: (B,)
+        per-image scales; frame_hws: (B, 2) original sizes. Letterbox
+        geometry rides in as DATA, so web images of arbitrary shapes share
+        a handful of compiled bucket programs while producing exactly the
+        canvas exact-shape processing would (no accuracy drift — the
+        clustering ingest's shape-bucketing guarantee).
+        """
+        if not isinstance(frames, jax.Array):
+            frames = jnp.asarray(np.asarray(frames))
+        placed = self._placed(frames)
+        key = ("dyn", tuple(frames.shape), max_num, metric)
+        if key not in self._jitted:
+            from .detector import detect_batch_dynamic
+
+            det_apply = self.detector.model.apply
+            model_hw = self.detector.input_size
+
+            def detect_fn(det_vars, frames, wy, wx, inv_scale, fhw):
+                return detect_batch_dynamic(
+                    det_apply, det_vars, frames, wy, wx, inv_scale, fhw,
+                    model_hw=model_hw, conf_thres=self.detector.conf_thres,
+                    iou_thres=self.detector.iou_thres, pre_nms=self.pre_nms,
+                    max_det=self.max_det, max_num=max_num, metric=metric)
+
+            self._jitted[key] = jax.jit(detect_fn)
+        inv_scale = 1.0 / jnp.asarray(np.asarray(det_scales, np.float32))
+        det = self._jitted[key](
+            placed[0], frames, jnp.asarray(np.asarray(wy, np.float32)),
+            jnp.asarray(np.asarray(wx, np.float32)), inv_scale,
+            jnp.asarray(np.asarray(frame_hws, np.int32)))
+        return self._finish(frames, det, placed)
 
     def process_stream(self, frames_iter, max_num: int = 0,
                        metric: str = "max", depth: int = 2):

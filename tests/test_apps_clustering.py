@@ -198,8 +198,10 @@ def test_reference_visit_cluster_json_parses(engine):
         Q.check_side_face_from_json_bbox(v, engine.config)
 
 
-def test_extract_batch_shape_bucketing(engine):
-    """Odd-shaped images must land in few compiled shape buckets."""
+def test_extract_batch_passes_original_shapes(engine):
+    """Ingest hands ORIGINAL shapes to FaceAnalysis — shape bucketing (and
+    its exact-numerics guarantee) lives inside get_batch now
+    (tests/test_bucket_parity.py covers the dynamic bucket path)."""
     calls = []
     orig = engine.app.get_batch
 
@@ -214,7 +216,7 @@ def test_extract_batch_shape_bucketing(engine):
     results = engine.extract_batch(["http://x/odd1.jpg", "http://x/odd2.jpg"])
     assert all(r is not None for r in results)
     shapes = {s for call in calls for s in call}
-    assert shapes == {(256, 512, 3)}  # both bucketed to one shape
+    assert shapes == {(231, 317, 3), (199, 305, 3)}
 
 
 def test_download_failure_counted_separately(engine):
