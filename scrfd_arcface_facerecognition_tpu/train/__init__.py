@@ -1,22 +1,28 @@
-"""ArcFace training: margin-softmax with a class-sharded head.
+"""Training: the reference performs inference only; a complete framework
+must be able to (re)train both halves of its model stack, so this package
+provides TPU-native trainers for each:
 
-The reference performs inference only; the w600k weights it consumes were
-produced by ArcFace training (additive angular margin over a WebFace600K
-class head). A complete framework must be able to (re)train/fine-tune its
-embedders, so this module provides the TPU-native training path:
+- ArcFace embedder (arcface_train.py): margin-softmax with data parallelism
+  over the image batch ('data' mesh axis) and the classifier matrix
+  W [D, num_classes] sharded over 'model' (partial-FC style tensor
+  parallelism — for 600k identities W is 1.2 GB and must not be
+  replicated). GSPMD sharding constraints + jit: XLA inserts the
+  psum/all_gather for the cross-shard softmax.
 
-- data parallelism over the image batch ('data' mesh axis);
-- the classifier matrix W [D, num_classes] sharded over the 'model' axis
-  (partial-FC style tensor parallelism — for 600k identities W is 1.2 GB
-  and must not be replicated);
-- GSPMD sharding constraints + jit: XLA inserts the psum/all_gather for the
-  cross-shard softmax; BatchNorm statistics sync across the global batch
-  for free because the batch axis is just a sharded array axis.
+- SCRFD detector (scrfd_train.py): ATSS-style assignment + Quality Focal /
+  DIoU / landmark smooth-L1 losses, data-parallel over frames, all
+  static-shape (padded gt with validity masks).
 """
 
 from .arcface_train import (
     ArcFaceTrainer, TrainState, arcface_margin_logits, softmax_xent,
 )
+from .scrfd_train import (
+    SCRFDTrainer, SCRFDTrainState, SCRFDLossConfig, scrfd_loss, atss_assign,
+    diou_loss, quality_focal_loss, pairwise_iou, synthetic_detection_batch,
+)
 
 __all__ = ["ArcFaceTrainer", "TrainState", "arcface_margin_logits",
-           "softmax_xent"]
+           "softmax_xent", "SCRFDTrainer", "SCRFDTrainState",
+           "SCRFDLossConfig", "scrfd_loss", "atss_assign", "diou_loss",
+           "quality_focal_loss", "pairwise_iou", "synthetic_detection_batch"]

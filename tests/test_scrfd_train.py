@@ -1,0 +1,106 @@
+"""SCRFD detector training: assignment correctness, loss behavior, and the
+sharded train step on the virtual mesh (framework-completeness item — the
+reference ships inference-only graphs and has no training at all)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scrfd_arcface_facerecognition_tpu.models.scrfd import SCRFDConfig, SCRFDNet
+from scrfd_arcface_facerecognition_tpu.parallel import make_mesh
+from scrfd_arcface_facerecognition_tpu.train import (
+    SCRFDTrainer, SCRFDLossConfig, scrfd_loss, atss_assign, diou_loss,
+    quality_focal_loss, pairwise_iou, synthetic_detection_batch)
+from scrfd_arcface_facerecognition_tpu.train.scrfd_train import _anchor_boxes
+
+
+TINY = SCRFDConfig("tiny", 8, (1, 1, 1, 1), (8, 8, 16, 16),
+                   neck_filters=8, head_stacks=1, head_filters=16)
+CFG64 = SCRFDLossConfig(input_size=(64, 64))
+
+
+def test_pairwise_iou_basics():
+    a = jnp.asarray([[0., 0., 10., 10.]])
+    b = jnp.asarray([[0., 0., 10., 10.], [5., 5., 15., 15.],
+                     [20., 20., 30., 30.]])
+    iou = np.asarray(pairwise_iou(a, b))[0]
+    np.testing.assert_allclose(iou, [1.0, 25. / 175., 0.0], atol=1e-6)
+
+
+def test_diou_loss_zero_for_identical_boxes():
+    b = jnp.asarray([[2., 3., 20., 30.]])
+    assert float(diou_loss(b, b)[0]) < 1e-6
+    # disjoint boxes: loss > 1 (negative DIoU term)
+    far = jnp.asarray([[100., 100., 120., 120.]])
+    assert float(diou_loss(b, far)[0]) > 1.0
+
+
+def test_qfl_zero_when_perfect():
+    p = jnp.asarray([0.999999, 1e-6])
+    q = jnp.asarray([1.0, 0.0])
+    assert float(jnp.sum(quality_focal_loss(p, q))) < 1e-4
+    # confident wrong prediction is heavily penalized
+    assert float(quality_focal_loss(jnp.asarray([0.9]),
+                                    jnp.asarray([0.0]))[0]) > 1.0
+
+
+def test_atss_assigns_anchors_inside_gt():
+    centers_np, aboxes_np, level_sizes = _anchor_boxes(CFG64)
+    gt = jnp.asarray([[8., 8., 40., 40.], [0., 0., 0., 0.]])
+    valid = jnp.asarray([True, False])
+    assigned, aiou = atss_assign(gt, valid, jnp.asarray(centers_np),
+                                 jnp.asarray(aboxes_np), level_sizes)
+    assigned = np.asarray(assigned)
+    pos = assigned >= 0
+    assert pos.sum() > 0, "gt must attract at least one anchor"
+    assert set(np.unique(assigned[pos])) == {0}, "invalid gt must get none"
+    # every positive anchor's center lies inside the gt box
+    c = centers_np[pos]
+    assert ((c[:, 0] >= 8) & (c[:, 0] <= 40)
+            & (c[:, 1] >= 8) & (c[:, 1] <= 40)).all()
+    assert (np.asarray(aiou)[pos] > 0).all()
+
+
+def test_atss_no_valid_gt_assigns_nothing():
+    centers_np, aboxes_np, level_sizes = _anchor_boxes(CFG64)
+    gt = jnp.zeros((3, 4))
+    valid = jnp.zeros((3,), bool)
+    assigned, _ = atss_assign(gt, valid, jnp.asarray(centers_np),
+                              jnp.asarray(aboxes_np), level_sizes)
+    assert (np.asarray(assigned) == -1).all()
+
+
+def test_loss_decreases_on_overfit():
+    """A few SGD steps on one tiny batch must reduce the loss (the whole
+    assignment/loss/grad chain is differentiable and sane)."""
+    mesh = make_mesh((1,), ("data",))
+    model = SCRFDNet(TINY)
+    trainer = SCRFDTrainer(model=model, mesh=mesh, loss_cfg=CFG64,
+                           learning_rate=0.01)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    images, gt_boxes, gt_kps, gt_valid = synthetic_detection_batch(
+        rng, batch=2, input_size=(64, 64), max_gt=3)
+    losses = []
+    for _ in range(8):
+        state, loss, metrics = trainer.train_step(
+            state, images, gt_boxes, gt_kps, gt_valid)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert int(metrics["n_pos"]) > 0
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+
+
+def test_sharded_train_step_on_virtual_mesh():
+    """DP over the full 8-device mesh: one step, finite loss, sharded batch."""
+    mesh = make_mesh((8,), ("data",))
+    model = SCRFDNet(TINY)
+    trainer = SCRFDTrainer(model=model, mesh=mesh, loss_cfg=CFG64)
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    images, gt_boxes, gt_kps, gt_valid = synthetic_detection_batch(
+        rng, batch=8, input_size=(64, 64), max_gt=2)
+    state, loss, _ = trainer.train_step(state, images, gt_boxes, gt_kps,
+                                        gt_valid)
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 1
