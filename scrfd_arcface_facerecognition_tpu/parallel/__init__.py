@@ -11,9 +11,11 @@ batch B and gallery size G. Here those shard over a jax.sharding.Mesh:
 - communication is XLA collectives only — no custom transport.
 """
 
-from .mesh import make_mesh, local_device_count
+from .mesh import (make_mesh, make_hybrid_mesh, initialize_distributed,
+                   local_device_count)
 from .sharded_gallery import ShardedGallery, sharded_top_k
 from .data_parallel import shard_frames, replicate
 
-__all__ = ["make_mesh", "local_device_count", "ShardedGallery",
+__all__ = ["make_mesh", "make_hybrid_mesh", "initialize_distributed",
+           "local_device_count", "ShardedGallery",
            "sharded_top_k", "shard_frames", "replicate"]

@@ -96,3 +96,46 @@ def test_dp_fused_pipeline_on_mesh():
     out_ref = pipe(jnp.asarray(frames))
     np.testing.assert_allclose(np.asarray(out.embeddings),
                                np.asarray(out_ref.embeddings), atol=1e-4)
+
+
+def test_hybrid_mesh_axes_and_layout():
+    """DCN-aware mesh: leading 'replica' axis strides across slice groups,
+    ici axes tile within; 8 virtual devices -> 2 slices x (2, 2)."""
+    from scrfd_arcface_facerecognition_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh((2, 2), ("data", "model"), num_slices=2)
+    assert mesh.axis_names == ("replica", "data", "model")
+    assert dict(mesh.shape) == {"replica": 2, "data": 2, "model": 2}
+    # contiguous device groups per replica (the ICI locality analog)
+    ids = np.vectorize(lambda d: d.id)(mesh.devices)
+    assert ids[0].max() < ids[1].min()
+
+
+def test_sharded_gallery_on_hybrid_mesh_matches_dense():
+    """Gallery sharded over the in-slice 'model' axis, replicated across
+    the DCN 'replica' axis: results equal the dense cosine top-k."""
+    from scrfd_arcface_facerecognition_tpu.parallel import (
+        make_hybrid_mesh, ShardedGallery)
+
+    mesh = make_hybrid_mesh((4,), ("model",), num_slices=2)
+    rng = np.random.default_rng(5)
+    g = rng.normal(size=(32, 512)).astype(np.float32)
+    q = rng.normal(size=(3, 512)).astype(np.float32)
+    sg = ShardedGallery(g, mesh, axis="model")
+    scores, idx = sg.search(q, k=5)
+
+    gn = g / np.linalg.norm(g, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ gn.T
+    want_idx = np.argsort(-sims, axis=1)[:, :5]
+    np.testing.assert_array_equal(idx, want_idx)
+    np.testing.assert_allclose(scores, np.take_along_axis(sims, want_idx, 1),
+                               rtol=1e-5)
+
+
+def test_initialize_distributed_single_process_is_graceful():
+    from scrfd_arcface_facerecognition_tpu.parallel import (
+        initialize_distributed)
+
+    # no coordinator anywhere: must not raise, reports single-process
+    assert initialize_distributed() is False
