@@ -100,6 +100,16 @@ class SmartFaceEngine:
                                rec_variant=self.config["system"]["rec_variant"])
             app.prepare(ctx_id=0, det_size=det_size)
         self.app = app
+        # Live job progress for the web UI (GET /api/job-progress): updated
+        # by _cluster_visits as the batch advances; dict writes are atomic
+        # under the GIL so the polling reader never needs the lock.
+        self.progress: Dict[str, Any] = {
+            "status": "idle", "stage": "", "total": 0, "done": 0}
+
+    def _set_progress(self, status: str, stage: str = "",
+                      total: int = 0, done: int = 0) -> None:
+        self.progress = {"status": status, "stage": stage,
+                         "total": total, "done": done}
 
     # ------------------------------------------------------------ helpers
 
@@ -329,15 +339,18 @@ class SmartFaceEngine:
 
         images_dir = (os.path.join(output_folder, "downloaded_images")
                       if (output_folder and save_images) else None)
+        self._set_progress("running", "download+embed", len(active), 0)
         embeddings = self.extract_batch_detail(
             [v.get("image") for _, v in active], save_image=save_images,
             output_dir=images_dir)
+        self._set_progress("running", "clustering", len(active), 0)
 
         # Per-visit fault isolation: one bad visit (DB error, malformed
         # record, ...) must not kill the batch — the reference wraps every
         # visit and counts unexpected failures as no_faces
         # (smart_face_recognition.py:1973-1977).
-        for (i, visit), (embedding_data, reason) in zip(active, embeddings):
+        for n, ((i, visit), (embedding_data, reason)) in enumerate(
+                zip(active, embeddings)):
             try:
                 self._decide_visit(i, visit, embedding_data, reason,
                                    grouping_threshold, output_folder,
@@ -345,11 +358,13 @@ class SmartFaceEngine:
             except Exception as e:
                 logger.error("Error processing visit %s: %s", i, e)
                 results["no_faces"] += 1
+            self._set_progress("running", "clustering", len(active), n + 1)
 
         if batch_groups:
             self.json_storage.save_clustering_results(
                 groups=batch_groups, total_processed=results["processed"],
                 results=results)
+        self._set_progress("idle", "done", len(active), len(active))
         return results, batch_groups
 
     def _decide_visit(self, i, visit, embedding_data, reason,

@@ -11,6 +11,7 @@ Routes:
   GET  /api/config                        api_config.txt contents
   GET  /api/person-groups                 person x visits join
   GET  /api/low-similarity-images
+  GET  /api/job-progress                  live clustering-job progress
   POST /api/merge-duplicates              G x G dedup + merge
   POST /api/clear-database
   GET  /api/person/{id}                   person + visit detail
@@ -73,6 +74,12 @@ class WebApp:
 
     def low_similarity_images(self):
         return 200, None, {"images": self.engine.get_low_similarity_images()}
+
+    def job_progress(self):
+        """Live clustering-job progress for the UI's polling loop (the
+        reference UI shows processing state while /api/process-visits is
+        in flight, templates/index.html progress section)."""
+        return 200, None, dict(self.engine.progress)
 
     def person_detail(self, person_id: int):
         person = self.engine.db.get_person(person_id)
@@ -245,6 +252,8 @@ class WebApp:
                 return self.person_groups()
             if path == "/api/low-similarity-images":
                 return self.low_similarity_images()
+            if path == "/api/job-progress":
+                return self.job_progress()
             if path.startswith("/api/person/"):
                 try:
                     return self.person_detail(int(path.rsplit("/", 1)[1]))

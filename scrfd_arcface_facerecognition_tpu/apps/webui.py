@@ -56,6 +56,15 @@ INDEX_HTML = """<!DOCTYPE html>
           font-size:12px; }
   .pill.ok { background:#dcfce7; color:var(--ok); }
   .pill.bad { background:#fee2e2; color:var(--bad); }
+  img.thumb { width:48px; height:48px; object-fit:cover; border-radius:6px;
+              background:#eef0f4; display:block; }
+  .visit-strip img { width:40px; height:40px; object-fit:cover;
+                     border-radius:4px; margin:0 2px 2px 0; }
+  #progress { display:none; margin:8px 0; }
+  #progress .bar { height:8px; background:#eef0f4; border-radius:4px;
+                   overflow:hidden; }
+  #progress .bar div { height:100%; background:var(--acc); width:0; }
+  #progress span { font-size:12px; color:var(--dim); }
 </style>
 </head>
 <body>
@@ -83,6 +92,8 @@ INDEX_HTML = """<!DOCTYPE html>
   </div>
 
   <div id="status"></div>
+  <div id="progress"><div class="bar"><div id="progbar"></div></div>
+    <span id="progtext"></span></div>
 
   <div class="tabs" id="tabs">
     <div data-tab="persons" class="active" onclick="showTab('persons')">Clustered persons</div>
@@ -127,20 +138,27 @@ async function renderTab() {
   try {
     if (activeTab === 'persons') {
       const { groups } = await api('/api/person-groups');
-      el.innerHTML = groups.length ? '<table><tr><th>id</th><th>name</th>' +
+      el.innerHTML = groups.length ? '<table><tr><th></th><th>id</th><th>name</th>' +
         '<th>visits</th><th>matches</th><th>quality</th><th>last seen</th></tr>' +
-        groups.map(g => `<tr><td>${g.person_id}</td><td>${g.name}</td>` +
+        groups.map(g => `<tr><td><img class="thumb" data-path="${g.image_path ?? ''}" alt=""></td>` +
+          `<td>${g.person_id}</td><td>${g.name}` +
+          `<div class="visit-strip">${(g.images ?? []).slice(0, 6).map(
+             v => `<img data-path="${v.image_path ?? ''}" title="visit ${v.visit_id} (${((v.similarity ?? 0) * 100).toFixed(0)}%)" alt="">`
+           ).join('')}</div></td>` +
           `<td>${g.visit_count}</td><td>${g.match_count}</td>` +
           `<td>${(g.face_quality ?? 0).toFixed(2)}</td><td>${g.last_seen ?? ''}</td></tr>`
         ).join('') + '</table>' : 'No persons yet.';
+      loadThumbs(el);
     } else if (activeTab === 'lowsim') {
       const { images } = await api('/api/low-similarity-images');
-      el.innerHTML = images.length ? '<table><tr><th>visit</th><th>customer</th>' +
+      el.innerHTML = images.length ? '<table><tr><th></th><th>visit</th><th>customer</th>' +
         '<th>similarity %</th><th>reason</th><th>when</th></tr>' +
-        images.map(i => `<tr><td>${i.visit_id}</td><td>${i.customer_id}</td>` +
+        images.map(i => `<tr><td><img class="thumb" data-path="${i.image_path ?? ''}" alt=""></td>` +
+          `<td>${i.visit_id}</td><td>${i.customer_id}</td>` +
           `<td>${(i.similarity ?? 0).toFixed(1)}</td><td>${i.reason}</td>` +
           `<td>${i.processed_at ?? ''}</td></tr>`).join('') + '</table>'
         : 'No low-similarity images.';
+      loadThumbs(el);
     } else {
       el.innerHTML = `<p>POST records to
         <code>/api/process-face-comparisons-from-api</code> — results are
@@ -152,6 +170,38 @@ async function renderTab() {
   } catch (e) { el.innerHTML = 'Error: ' + e.message; }
 }
 
+// thumbnails: hydrate <img data-path> via /api/image-base64 (the
+// reference UI's rendering route, templates/index.html) — local paths
+// only; remote URLs load directly.
+async function loadThumbs(root) {
+  for (const img of root.querySelectorAll('img[data-path]')) {
+    const p = img.dataset.path;
+    if (!p) { img.style.visibility = 'hidden'; continue; }
+    if (/^https?:/.test(p)) { img.src = p; continue; }
+    try {
+      const { image } = await api('/api/image-base64/' + encodeURI(p));
+      img.src = image;
+    } catch (e) { img.style.visibility = 'hidden'; }
+  }
+}
+
+let progTimer = null;
+function pollProgress(on) {
+  const box = $('progress');
+  if (!on) { clearInterval(progTimer); progTimer = null;
+             box.style.display = 'none'; return; }
+  box.style.display = 'block';
+  progTimer = setInterval(async () => {
+    try {
+      const p = await api('/api/job-progress');
+      const pct = p.total ? Math.round(100 * p.done / p.total) : 0;
+      $('progbar').style.width = pct + '%';
+      $('progtext').textContent =
+        `${p.status}: ${p.stage} ${p.done}/${p.total} (${pct}%)`;
+    } catch (e) {}
+  }, 800);
+}
+
 async function processVisits() {
   try {
     const body = JSON.parse($('visitjson').value || '{}');
@@ -159,11 +209,13 @@ async function processVisits() {
     body.save_images = $('saveimgs').checked;
     body.clear_existing = $('clearex').checked;
     status('Processing…');
+    pollProgress(true);
     const r = await api('/api/process-visits', {method:'POST',
       headers:{'Content-Type':'application/json'}, body: JSON.stringify(body)});
     status('Done: ' + JSON.stringify(r.results));
     loadStats(); renderTab();
   } catch (e) { status('Failed: ' + e.message, false); }
+  finally { pollProgress(false); }
 }
 
 async function runComparisons() {

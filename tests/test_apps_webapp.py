@@ -207,3 +207,41 @@ def test_process_visits_from_api_with_mock_server(app):
 
 def test_process_visits_from_api_requires_url(app):
     assert app.dispatch("POST", "/api/process-visits-from-api", {})[0] == 400
+
+
+def test_job_progress_endpoint(app):
+    status, _, prog = app.dispatch("GET", "/api/job-progress")
+    assert status == 200
+    assert prog == {"status": "idle", "stage": "", "total": 0, "done": 0}
+    _seed_visits(app, 3)
+    status, _, prog = app.dispatch("GET", "/api/job-progress")
+    assert status == 200
+    assert prog["stage"] == "done"
+    assert prog["total"] == 3 and prog["done"] == 3
+
+
+def test_ui_renders_thumbnails_and_progress():
+    """The persons table must render <img> thumbnails hydrated through
+    /api/image-base64 (reference UI surface, templates/index.html:663-1797)
+    and the visit form must poll /api/job-progress."""
+    from scrfd_arcface_facerecognition_tpu.apps.webui import INDEX_HTML
+
+    persons_renderer = INDEX_HTML.split("activeTab === 'persons'")[1]
+    persons_renderer = persons_renderer.split("activeTab === 'lowsim'")[0]
+    assert '<img class="thumb"' in persons_renderer
+    assert "loadThumbs" in persons_renderer
+    assert "/api/image-base64/" in INDEX_HTML
+    assert "visit-strip" in persons_renderer      # per-visit thumbnails
+    assert "/api/job-progress" in INDEX_HTML
+    assert "pollProgress(true)" in INDEX_HTML
+
+
+def test_image_base64_roundtrip(app, tmp_path):
+    import cv2
+    img_path = str(tmp_path / "t.jpg")
+    rng = np.random.default_rng(0)
+    cv2.imwrite(img_path, rng.integers(0, 255, (40, 40, 3), np.uint8))
+    status, _, payload = app.dispatch("GET", f"/api/image-base64/{img_path}")
+    assert status == 200
+    assert payload["image"].startswith("data:image/jpeg;base64,")
+    assert app.dispatch("GET", "/api/image-base64/nope.jpg")[0] == 404
