@@ -37,6 +37,11 @@ class ArcFaceConfig:
     # mobilefacenet
     mbf_blocks: Sequence[int] = (1, 4, 6, 2)
     mbf_scale: int = 2
+    # Phase-split s2d stem (iresnet): the stride-1 3-channel stem conv
+    # wastes ~42x of its MXU window on channel padding; the split runs the
+    # exact same math as four 2x2 convs over a 12-channel packing
+    # (layers.conv3x3_s1_phase_s2d). Parameter layout unchanged.
+    s2d_stem: bool = False
 
 
 class IBasicBlock(nn.Module):
@@ -83,9 +88,15 @@ class IResNet(nn.Module):
         bn_kw = dict(use_running_average=not train, momentum=0.9,
                      epsilon=1e-5, dtype=self.dtype)
         x = x.astype(self.dtype)
-        x = nn.Conv(cfg.stage_filters[0], (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=False, kernel_init=conv_kernel_init,
-                    dtype=self.dtype, name="stem_conv")(x)
+        if cfg.s2d_stem:
+            from .layers import PhaseSplitStemConv
+
+            x = PhaseSplitStemConv(cfg.stage_filters[0], dtype=self.dtype,
+                                   name="stem_conv")(x)
+        else:
+            x = nn.Conv(cfg.stage_filters[0], (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=False, kernel_init=conv_kernel_init,
+                        dtype=self.dtype, name="stem_conv")(x)
         x = nn.BatchNorm(name="stem_bn", **bn_kw)(x)
         x = PReLU(dtype=self.dtype, name="stem_prelu")(x)
 
@@ -175,8 +186,11 @@ ARCFACE_CONFIGS = {
 }
 
 
-def build_arcface(name: str, dtype: Any = jnp.float32) -> nn.Module:
+def build_arcface(name: str, dtype: Any = jnp.float32,
+                  s2d_stem: bool = False) -> nn.Module:
     cfg = ARCFACE_CONFIGS[name]
     if cfg.arch == "iresnet":
+        if s2d_stem:
+            cfg = dataclasses.replace(cfg, s2d_stem=True)
         return IResNet(cfg, dtype=dtype)
     return MobileFaceNet(cfg, dtype=dtype)

@@ -26,3 +26,31 @@ jax.config.update("jax_platforms", "cpu")
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+
+
+# ---------------------------------------------------------------------------
+# quick / slow split: `pytest -m quick` is the inner-loop suite (~1 min,
+# app logic + ops unit tests); the unmarked full run stays CI's job.
+# Slow = anything compiling full-size convnets or sweeping real fixtures.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_SLOW_FILES = {
+    "test_models_parity.py",     # torch-oracle convnet parity (full size)
+    "test_pipeline_detector.py",
+    "test_pipeline_embedder.py",
+    "test_pallas_warp.py",
+    "test_parallel.py",          # 8-device jits
+    "test_scrfd_train.py",
+    "test_bucket_parity.py",     # real model stack on fixtures
+    "test_onnx_exec.py",
+    "test_onnx_import.py",
+    "test_golden_fixtures.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = os.path.basename(str(item.fspath))
+        item.add_marker(pytest.mark.slow if name in _SLOW_FILES
+                        else pytest.mark.quick)

@@ -158,3 +158,44 @@ def test_s2d_model_matches_normal_model():
         for a, b in zip(out0[key], out1[key]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5, rtol=1e-4)
+
+
+def test_phase_split_stem_equivalent():
+    """conv3x3_s1_phase_s2d == direct stride-1 3x3 conv, exactly (f32)."""
+    import jax
+    import jax.numpy as jnp
+    from scrfd_arcface_facerecognition_tpu.models.layers import (
+        conv3x3_s1_phase_s2d)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 20, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 8)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = conv3x3_s1_phase_s2d(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_iresnet_s2d_stem_same_params_same_output():
+    """The s2d_stem flag changes execution, not the parameter tree or (up
+    to float reassociation) the output."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    from scrfd_arcface_facerecognition_tpu.models.arcface import (
+        ArcFaceConfig, IResNet)
+
+    cfg = ArcFaceConfig(name="t", arch="iresnet", emb_dim=16,
+                        stage_blocks=(1, 1, 1, 1), stage_filters=(8, 8, 8, 8))
+    m0 = IResNet(cfg)
+    m1 = IResNet(dc.replace(cfg, s2d_stem=True))
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(1, 112, 112, 3)).astype(np.float32))
+    v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+    # identical param tree -> v0 loads straight into the s2d variant
+    y0 = m0.apply(v0, x, train=False)
+    y1 = m1.apply(v0, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-4)
