@@ -49,7 +49,8 @@ def main():
 
     _enable_compile_cache()
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))  # 64 amortizes fixed
+    # per-batch costs ~11% better than 32 (docs/PERF.md optimization log)
     rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "8"))
     gallery_size = int(os.environ.get("BENCH_GALLERY", "128"))

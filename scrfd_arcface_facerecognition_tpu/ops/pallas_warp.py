@@ -14,8 +14,10 @@ Every pass is a "band mix": output row-groups are hat-weighted sums over an
 pure VPU work, no gathers, no lane-dynamic slices. Shears run in the
 orientation where their shift is a row-position term (3 in-kernel
 transposes). The source frame (and the 640 letterbox canvas, used as a
-pyramid level for large faces) is DMA'd into VMEM once per frame: the grid
-iterates crops sorted by frame and re-uses the resident planes.
+pyramid level for large faces) is DMA'd into VMEM once per frame as bf16
+planes (u8 values are exact in bf16; the 16-bit tile halves the pass-1
+band an 8-bit source would need): the grid iterates crops sorted by frame
+and re-uses the resident planes.
 
 Numerics: passes are exact f32 linear interpolation. For phi == 0 the result
 equals direct bilinear exactly; with rotation the multi-pass resampling
@@ -49,14 +51,22 @@ LANE_OFF = int(CQ - C0 + 0.5)  # 40: final lane extraction offset
 
 # Band coverage requirement per pass: alpha*(G-1) + |beta|*(Q-1) + align
 # slack (align-1 + floor slack 1) + 2 interp taps <= BAND.
-BAND_SRC = 64        # pass-1 band (u8 source, 32-aligned): sigma*7+35 <= 64
+# Pass-1 reads bf16 source planes (u8 pixel values are exact in bf16): the
+# 16-bit sublane tile allows 16-aligned dynamic bands, halving the band an
+# 8-bit source would need (32-aligned -> BAND 64). Pass 1 is ~half of the
+# kernel's tap work (its lanes are PW=512 vs Q=192 elsewhere), so this
+# matters more than the 2x plane-byte increase it costs in VMEM.
+BAND_SRC = 32        # pass-1 band (bf16 source, 16-aligned): sigma*7+19 <= 32
 BAND_SCALE = 40      # pass-2 band (f32, 8-aligned): sigma*7+10 <= 40
 BAND_HX = 48         # shear-x: |u|*191 + 17 <= 48 -> |u| <= 0.162
 BAND_VY = 72         # shear-y: |v|*191 + 17 <= 72 -> |v| <= 0.287
 PHI_MAX = 0.24       # |phi| <= ~13.9 deg (v=sin(phi)<=0.24, u=tan(phi/2)<=0.122)
 # The scale passes sample sigma*CQ columns either side of the crop center;
-# the 128-aligned window must cover it: 2*sigma*CQ + 132 <= PW.
-SIGMA_MAX = (PW - 136) / (2 * CQ)   # ~1.97 per level
+# the 128-aligned window must cover it: 2*sigma*CQ + 132 <= PW (~1.97).
+# The pass-1 band adds its own bound: sigma*(G-1) + 19 <= BAND_SRC (~1.86),
+# which binds first. Per level; the canvas level rescales sigma by
+# det_scale, so only degenerate crops fall back.
+SIGMA_MAX = min((PW - 136) / (2 * CQ), (BAND_SRC - 19) / (G - 1))
 
 
 class WarpParams(NamedTuple):
@@ -156,7 +166,7 @@ def _band_mix(dst_ref, src_ref, n_out: int, src_rows: int, width: int,
         j0f = j0.astype(jnp.float32)
         band_arr = src_ref[:, pl.ds(j0, band), :]
         if cast:
-            band_arr = band_arr.astype(jnp.int32).astype(jnp.float32)
+            band_arr = band_arr.astype(jnp.float32)
         acc = jnp.zeros((c, G, width), jnp.float32)
         for r in range(band):
             w = jnp.maximum(0.0, 1.0 - jnp.abs(pos - (j0f + r)))   # (G, W)
@@ -204,13 +214,13 @@ def _warp_kernel(iparams, fparams, frames_hbm, canvas_hbm, out_ref,
     def _():
         src = frame_vm.at[:, :, pl.ds(ox, PW)]
         _band_mix(buf_a, src, Q, fh, PW, BAND_SRC,
-                  sigma, jnp.float32(0.0), gamma1, align=32, cast=True)
+                  sigma, jnp.float32(0.0), gamma1, align=16, cast=True)
 
     @pl.when(level != 0)
     def _():
         src = canvas_vm.at[:, :, pl.ds(ox, PW)]
         _band_mix(buf_a, src, Q, ch, PW, BAND_SRC,
-                  sigma, jnp.float32(0.0), gamma1, align=32, cast=True)
+                  sigma, jnp.float32(0.0), gamma1, align=16, cast=True)
 
     # ---- transpose A (C, Q, PW) -> (C, PW, Q) ---------------------------
     buf_at[:] = jnp.swapaxes(buf_a[:], -1, -2)
@@ -257,6 +267,13 @@ def warp_crops_pallas(frames_planar: jnp.ndarray, canvas_planar: jnp.ndarray,
     ip = params.iparams[params.order]
     fp = params.fparams[params.order]
 
+    # bf16 source planes: u8 pixel values convert exactly (7 mantissa bits
+    # cover 0..255) and the 16-bit sublane tile halves the pass-1 band (see
+    # BAND_SRC). One fused XLA cast per batch; planes stay u8 in HBM
+    # upstream.
+    frames_planar = frames_planar.astype(jnp.bfloat16)
+    canvas_planar = canvas_planar.astype(jnp.bfloat16)
+
     # Mosaic requires 128-aligned minor dims for the plane DMAs; pad the
     # source widths (faces preferring level 0 on an unalignable frame are
     # fallback-flagged by prepare_warp_params, so padded lanes are only
@@ -278,8 +295,8 @@ def warp_crops_pallas(frames_planar: jnp.ndarray, canvas_planar: jnp.ndarray,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 3, OUT, Q), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM(frames_planar.shape[1:], jnp.uint8),   # frame planes
-            pltpu.VMEM(canvas_planar.shape[1:], jnp.uint8),   # canvas planes
+            pltpu.VMEM(frames_planar.shape[1:], jnp.bfloat16),  # frame planes
+            pltpu.VMEM(canvas_planar.shape[1:], jnp.bfloat16),  # canvas planes
             pltpu.VMEM((3, Q, PW), jnp.float32),              # A
             pltpu.VMEM((3, PW, Q), jnp.float32),              # A^T
             pltpu.VMEM((3, Q, Q), jnp.float32),               # ping

@@ -74,6 +74,52 @@ def embed_crops_pallas(apply_fn, variables, frames: jnp.ndarray,
     return emb * valid_flat[:, None].astype(emb.dtype)
 
 
+def embed_crops_mixed(apply_fn, variables, frames: jnp.ndarray,
+                      canvas_u8: jnp.ndarray, kps_flat: jnp.ndarray,
+                      frame_idx: jnp.ndarray, valid_flat: jnp.ndarray, *,
+                      fb_slots: int = 16, l2: bool = True,
+                      interpret: bool = False, det_scale=None) -> jnp.ndarray:
+    """Pallas warp for in-envelope crops + XLA-warp repair for up to
+    fb_slots out-of-envelope ones (rotation/scale past the kernel limits).
+
+    Previously ONE tilted head sent the whole batch down the XLA gather
+    path (~0.7 ms/crop at 512 crops); here the pallas kernel still serves
+    the batch and only the flagged crops are recomputed exactly — the
+    repair cost is fb_slots crops, not the batch. Callers route batches
+    with more than fb_slots violations to embed_crops (plain XLA).
+    """
+    from ..ops import pallas_warp as pw
+
+    matrices = ops.estimate_norm(kps_flat, 112)
+    canvas_hw = tuple(canvas_u8.shape[1:3])
+    if det_scale is None:
+        scale = ops.letterbox_plan(tuple(frames.shape[1:3]),
+                                   canvas_hw).det_scale
+    else:
+        scale = det_scale[frame_idx]
+    params = pw.prepare_warp_params(
+        matrices, frame_idx, tuple(frames.shape[1:3]), scale,
+        canvas_hw=canvas_hw)
+    crops = pw.warp_crops_pallas(pw.planarize(frames), pw.planarize(canvas_u8),
+                                 params, interpret=interpret)
+
+    # compact the flagged crops into the static repair slots
+    fb = params.fallback & valid_flat
+    order = jnp.argsort(jnp.logical_not(fb), stable=True)[:fb_slots]
+    fb_crops = ops.warp.warp_affine_flat(
+        frames, matrices[order], frame_idx[order], (112, 112))
+    sel_valid = fb[order]
+    repaired = jnp.where(sel_valid[:, None, None, None], fb_crops,
+                         crops[order])
+    crops = crops.at[order].set(repaired)
+
+    net_in = ops.normalize_image(crops, ops.ARCFACE_MEAN, ops.ARCFACE_STD)
+    emb = apply_fn(variables, net_in)
+    if l2:
+        emb = ops.l2_normalize(emb)
+    return emb * valid_flat[:, None].astype(emb.dtype)
+
+
 def embed_faces(apply_fn, variables, frames: jnp.ndarray, kps: jnp.ndarray,
                 valid: jnp.ndarray, *, image_size: int = 112,
                 l2: bool = True) -> jnp.ndarray:

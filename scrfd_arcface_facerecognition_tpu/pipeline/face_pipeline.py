@@ -66,7 +66,7 @@ def e2e_forward(det_apply, det_vars, emb_apply, emb_vars, frames, gallery,
 def embed_and_match_bucketed(emb_apply, emb_vars, frames, det: Detections,
                              gallery, gallery_valid, *, similarity_thresh,
                              bucket: int, use_pallas: bool = False,
-                             interpret: bool = False):
+                             interpret: bool = False, fb_slots: int = 0):
     """Jit-traceable stage 2 with face-count bucketing.
 
     Valid faces are compacted to the front of the flattened (B*K) slate
@@ -83,7 +83,14 @@ def embed_and_match_bucketed(emb_apply, emb_vars, frames, det: Detections,
     valid_sel = flat_valid[sel]
     frame_idx = (sel // k).astype(jnp.int32)
 
-    if use_pallas:
+    if use_pallas and fb_slots > 0:
+        from .embedder import embed_crops_mixed
+
+        emb_sel = embed_crops_mixed(
+            emb_apply, emb_vars, frames, det.canvas, kps_sel, frame_idx,
+            valid_sel, fb_slots=min(fb_slots, bucket), interpret=interpret,
+            det_scale=det.det_scale)                                # (F, 512)
+    elif use_pallas:
         from .embedder import embed_crops_pallas
 
         emb_sel = embed_crops_pallas(
@@ -247,8 +254,14 @@ class FacePipeline:
             self._jitted["embed_match"] = jax.jit(em_fn)
         return self._jitted[key], self._jitted["embed_match"]
 
-    def _bucket_fn(self, bucket: int, use_pallas: bool = False):
-        key = ("bucket", bucket, use_pallas)
+    # repair-slot budget for mixed pallas+XLA warp batches: out-of-envelope
+    # crops up to this count are recomputed exactly while the pallas kernel
+    # still serves the rest of the batch (embed_crops_mixed).
+    FB_SLOTS = 16
+
+    def _bucket_fn(self, bucket: int, use_pallas: bool = False,
+                   fb_slots: int = 0):
+        key = ("bucket", bucket, use_pallas, fb_slots)
         if key not in self._jitted:
             emb_apply = self.embedder.model.apply
             interpret = jax.default_backend() != "tpu"
@@ -257,7 +270,8 @@ class FacePipeline:
                 return embed_and_match_bucketed(
                     emb_apply, emb_vars, frames, det, gallery, gallery_valid,
                     similarity_thresh=self.similarity_thresh, bucket=bucket,
-                    use_pallas=use_pallas, interpret=interpret)
+                    use_pallas=use_pallas, interpret=interpret,
+                    fb_slots=fb_slots)
 
             self._jitted[key] = jax.jit(em_fn)
         return self._jitted[key]
@@ -414,11 +428,17 @@ class FacePipeline:
                 embeddings=jnp.zeros((b, k, 512), jnp.float32),
                 match_idx=jnp.full((b, k), -1, jnp.int32),
                 match_sim=jnp.zeros((b, k), jnp.float32))
-        use_pallas = (det.canvas is not None
-                      and (self.pallas_policy == "force"
-                           or (self.pallas_policy == "auto"
-                               and n_fallback == 0)))
-        em_fn = self._bucket_fn(bucket, use_pallas)
+        # policy: clean batch -> pure pallas; a few envelope violations ->
+        # pallas + exact repair of just those crops; many -> plain XLA.
+        fb_slots = 0
+        if self.pallas_policy == "force":
+            use_pallas = det.canvas is not None
+        elif self.pallas_policy == "auto" and det.canvas is not None:
+            use_pallas = n_fallback <= self.FB_SLOTS
+            fb_slots = self.FB_SLOTS if (use_pallas and n_fallback > 0) else 0
+        else:
+            use_pallas = False
+        em_fn = self._bucket_fn(bucket, use_pallas, fb_slots)
         return em_fn(emb_vars, frames, det, gallery, gallery_valid)
 
     def match_names(self, out: PipelineOutput):

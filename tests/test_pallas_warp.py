@@ -133,3 +133,83 @@ def test_rotation_at_envelope_edge(frames):
     # interior must be populated (no zeroed stripes)
     interior = np.asarray(got)[:, 20:92, 20:92]
     assert (np.abs(interior).mean(axis=(1, 2, 3)) > 10).all()
+
+
+def test_mixed_repair_path(frames):
+    """embed_crops_mixed: out-of-envelope crops are recomputed with the
+    exact XLA warp while in-envelope crops keep the pallas result — one
+    tilted head must not degrade (or slow) the rest of the batch."""
+    from scrfd_arcface_facerecognition_tpu.pipeline.embedder import (
+        embed_crops_mixed, embed_crops)
+
+    # crop 1 rotated 34 deg -> fallback-flagged; 0 and 2 in-envelope
+    m = _matrices([(1.0, 0.0, 300.0, 300.0),
+                   (1.0, 0.6, 400.0, 300.0),
+                   (0.9, 0.1, 500.0, 250.0)])
+    fidx = jnp.asarray([0, 1, 1], jnp.int32)
+    fh, fw = frames.shape[1:3]
+    plan = ops.letterbox_plan((fh, fw), (640, 640))
+    params = pw.prepare_warp_params(m, fidx, (fh, fw), plan.det_scale)
+    assert np.asarray(params.fallback).tolist() == [False, True, False]
+
+    canvas = jnp.clip(jnp.round(ops.letterbox(frames, plan)), 0, 255
+                      ).astype(jnp.uint8)
+    valid = jnp.ones((3,), bool)
+
+    # identity embedder: the "embedding" IS the normalized crop -> compare
+    # warp outputs directly through the embed machinery
+    flat = lambda v, x: x.reshape(x.shape[0], -1)[:, :128]
+    emb_mixed = embed_crops_mixed(flat, None, frames, canvas, 
+                                  _kps_from_matrices(m), fidx, valid,
+                                  fb_slots=2, interpret=True, l2=False)
+    emb_xla = embed_crops(flat, None, frames, _kps_from_matrices(m), fidx,
+                          valid, l2=False)
+    # the repaired crop equals the exact path bit-for-bit
+    np.testing.assert_allclose(np.asarray(emb_mixed[1]),
+                               np.asarray(emb_xla[1]), atol=1e-4)
+    # in-envelope crops stay close to exact (pallas resampling tolerance)
+    np.testing.assert_allclose(np.asarray(emb_mixed[0]),
+                               np.asarray(emb_xla[0]), atol=0.1)
+
+
+def _kps_from_matrices(ms):
+    """Invert src->dst similarity onto the canonical 5 landmarks to get
+    source keypoints whose umeyama fit reproduces (approximately) ms."""
+    from scrfd_arcface_facerecognition_tpu.ops.umeyama import ARCFACE_DST
+    from scrfd_arcface_facerecognition_tpu.ops.warp import invert_affine
+    minv = np.asarray(invert_affine(ms))
+    dst = np.asarray(ARCFACE_DST)                   # (5, 2)
+    kps = dst @ minv[:, :, :2].transpose(0, 2, 1) + minv[:, None, :, 2]
+    return jnp.asarray(kps.astype(np.float32))
+
+
+def test_pipeline_policy_selects_mixed_path():
+    """auto policy: 0 violations -> pure pallas; 1..FB_SLOTS -> mixed
+    (fb_slots set); more -> XLA. Decision logic only (CPU)."""
+    from scrfd_arcface_facerecognition_tpu.pipeline import FacePipeline
+
+    pipe = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
+                        conf_thres=0.0, pre_nms=16, max_det=2,
+                        gallery_capacity=8, seed=0)
+    pipe.pallas_policy = "auto"   # as on TPU
+    calls = []
+    pipe._bucket_fn = lambda bucket, use_pallas=False, fb_slots=0: (
+        calls.append((use_pallas, fb_slots)) or
+        (lambda *a, **k: "out"))
+
+    class FakeDet:
+        def __init__(self, n_fb):
+            self.valid = jnp.ones((1, 2), bool)
+            self.canvas = jnp.zeros((1, 8, 8, 3), jnp.uint8)
+            self._n = n_fb
+        boxes = scores = kps = count = det_scale = None
+        host_counts = None
+        @property
+        def n_warp_fallback(self):
+            return jnp.int32(self._n)
+
+    placed = (None, None, None, None)
+    for n_fb, want in [(0, (True, 0)), (3, (True, 16)), (40, (False, 0))]:
+        pipe._read_counts = lambda det, n=n_fb: (2, n)
+        pipe._finish(jnp.zeros((1, 8, 8, 3), jnp.uint8), FakeDet(n_fb), placed)
+        assert calls[-1] == want, (n_fb, calls[-1])
