@@ -9,6 +9,8 @@ the reference lacks, SURVEY.md §5).
 
 from .store import GalleryStore, SearchHit
 from .dedup import all_pairs_similarity, find_duplicate_pairs, duplicate_groups
+from .pq import PQCodec, PQGallery, adc_scores, sharded_pq_top_k
 
 __all__ = ["GalleryStore", "SearchHit", "all_pairs_similarity",
-           "find_duplicate_pairs", "duplicate_groups"]
+           "find_duplicate_pairs", "duplicate_groups",
+           "PQCodec", "PQGallery", "adc_scores", "sharded_pq_top_k"]

@@ -1,0 +1,225 @@
+"""Product-quantized gallery tier: million-identity search in HBM.
+
+The dense GalleryStore holds [G, 512] f32 rows — 2 GB/chip at G=1M, which
+crowds out the model. This tier compresses each embedding to M uint8 codes
+(default M=64: one code per 8-dim subspace, 256 centroids each) — 64 B/row,
+a 32x reduction — and searches with asymmetric distance computation (ADC):
+
+    LUT[m, k]  = q_m . centroid[m, k]          (one small matmul per query
+                                                batch — MXU)
+    score[g]   = sum_m LUT[m, codes[g, m]]     (table lookups — VPU)
+
+Training is batched Lloyd's k-means over all M subspaces at once (the
+assignment and update steps are einsums, so the whole codec trains on
+device). Everything is static-shape: capacity-padded codes, validity mask.
+
+This is the "long-context" scaling tier of SURVEY.md §5: the dense store
+serves galleries that fit HBM exactly; PQ serves the million-identity
+regime; both shard over the mesh ('model' axis) with the same local-score
++ all_gather top-k collective (sharded_pq_top_k).
+
+No counterpart exists in the reference (Qdrant in ":memory:" mode is a
+pure-Python scan, qdrant_manager.py:40-43).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class PQCodec:
+    """Per-subspace k-means codebooks. dim = M * sub_dim."""
+    centroids: jnp.ndarray        # (M, K, sub_dim) f32
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def sub_dim(self) -> int:
+        return self.centroids.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.sub_dim
+
+    # ------------------------------------------------------------- train
+
+    @staticmethod
+    def train(embeddings: np.ndarray, m: int = 64, k: int = 256,
+              iters: int = 20, seed: int = 0) -> "PQCodec":
+        """Batched Lloyd's k-means, all M subspaces in parallel on device.
+
+        embeddings (N, dim) with dim % m == 0; N should be >= ~4k for a
+        256-centroid codebook (empty clusters re-seed from the data).
+        """
+        x = np.asarray(embeddings, np.float32)
+        n, dim = x.shape
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        data = jnp.asarray(x.reshape(n, m, sub).transpose(1, 0, 2))  # (M,N,S)
+        rng = np.random.default_rng(seed)
+        k_eff = min(k, n)
+        init_idx = rng.choice(n, size=k_eff, replace=False)
+        cent = data[:, jnp.asarray(init_idx), :]                     # (M,K,S)
+        reseed = jnp.asarray(
+            rng.choice(n, size=(iters, k_eff)).astype(np.int32))
+
+        @jax.jit
+        def step(cent, reseed_row):
+            # assignment: argmin ||x - c||^2 = argmin (||c||^2 - 2 x.c)
+            xc = jnp.einsum("mns,mks->mnk", data, cent)              # (M,N,K)
+            c2 = jnp.sum(cent * cent, axis=-1)                       # (M,K)
+            assign = jnp.argmin(c2[:, None, :] - 2.0 * xc, axis=-1)  # (M,N)
+            onehot = jax.nn.one_hot(assign, k_eff, dtype=jnp.float32)
+            counts = jnp.sum(onehot, axis=1)                         # (M,K)
+            sums = jnp.einsum("mnk,mns->mks", onehot, data)
+            new = sums / jnp.maximum(counts[..., None], 1.0)
+            # re-seed empty clusters from random data points
+            rs = data[:, reseed_row, :]                              # (M,K,S)
+            return jnp.where(counts[..., None] > 0, new, rs)
+
+        for i in range(iters):
+            cent = step(cent, reseed[i])
+        return PQCodec(centroids=cent)
+
+    # ----------------------------------------------------- encode/decode
+
+    def encode(self, embeddings) -> jnp.ndarray:
+        """(N, dim) -> (N, M) uint8 codes."""
+        x = jnp.asarray(np.asarray(embeddings, np.float32))
+        n = x.shape[0]
+        data = x.reshape(n, self.m, self.sub_dim)
+        xc = jnp.einsum("nms,mks->nmk", data, self.centroids)
+        c2 = jnp.sum(self.centroids * self.centroids, axis=-1)       # (M,K)
+        assign = jnp.argmin(c2[None] - 2.0 * xc, axis=-1)            # (N,M)
+        return assign.astype(jnp.uint8)
+
+    def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """(N, M) uint8 -> (N, dim) reconstruction."""
+        c = jnp.take_along_axis(
+            self.centroids[None], codes.astype(jnp.int32)[:, :, None, None],
+            axis=2)[:, :, 0, :]                                      # (N,M,S)
+        return c.reshape(codes.shape[0], self.dim)
+
+    def lut(self, queries) -> jnp.ndarray:
+        """(Q, dim) -> (Q, M, K) inner-product lookup tables."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        qs = q.reshape(q.shape[0], self.m, self.sub_dim)
+        return jnp.einsum("qms,mks->qmk", qs, self.centroids)
+
+
+def adc_scores(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """(Q, M, K) LUTs x (G, M) codes -> (Q, G) inner-product scores."""
+    idx = codes.astype(jnp.int32).T[None]                    # (1, M, G)
+    gathered = jnp.take_along_axis(lut, idx, axis=2)         # (Q, M, G)
+    return jnp.sum(gathered, axis=1)
+
+
+def _local_pq_topk(lut, codes, valid, k: int, axis: str):
+    scores = adc_scores(lut, codes)                          # (Q, G/m)
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    rows = codes.shape[0]
+    k_local = min(k, rows)
+    s, i = jax.lax.top_k(scores, k_local)
+    shard = jax.lax.axis_index(axis)
+    gi = i + shard * rows
+    all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+    all_i = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
+    fs, pos = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
+    return fs, jnp.take_along_axis(all_i, pos, axis=1)
+
+
+def sharded_pq_top_k(queries, codec: PQCodec, codes, valid, k: int,
+                     mesh: Mesh, axis: str = "model"):
+    """Top-k ADC search over codes row-sharded on `axis` (same collective
+    shape as the dense sharded_top_k: local scores + all_gather of
+    candidates over ICI)."""
+    lut = codec.lut(queries)
+    fn = jax.shard_map(
+        functools.partial(_local_pq_topk, k=k, axis=axis),
+        mesh=mesh, in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()), check_vma=False)
+    return fn(lut, codes, valid)
+
+
+class PQGallery:
+    """Capacity-padded PQ store with the GalleryStore search surface.
+
+    >>> codec = PQCodec.train(corpus)         # once, on device
+    >>> g = PQGallery(codec, capacity=1_000_000)
+    >>> g.add(ids, embeddings)                # encodes on device
+    >>> scores, found_ids = g.search(query, k=5)
+    """
+
+    def __init__(self, codec: PQCodec, capacity: int = 1 << 20,
+                 mesh: Optional[Mesh] = None, axis: str = "model"):
+        self.codec = codec
+        self.capacity = capacity
+        self.mesh = mesh
+        self.axis = axis
+        if mesh is not None:
+            m = mesh.shape[axis]
+            capacity = -(-capacity // m) * m
+            self.capacity = capacity
+        self._codes = jnp.zeros((capacity, codec.m), jnp.uint8)
+        self._valid = jnp.zeros((capacity,), bool)
+        self._ids = np.full((capacity,), -1, np.int64)
+        self._n = 0
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(axis, None))
+            self._codes = jax.device_put(self._codes, sh)
+            self._valid = jax.device_put(self._valid,
+                                         NamedSharding(mesh, P(axis)))
+
+    def __len__(self) -> int:
+        return self._n
+
+    def add(self, ids, embeddings) -> None:
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        codes = self.codec.encode(np.atleast_2d(embeddings))
+        n = len(ids)
+        if self._n + n > self.capacity:
+            raise ValueError(f"PQ gallery full ({self.capacity})")
+        pos = jnp.arange(self._n, self._n + n)
+        self._codes = self._codes.at[pos].set(codes)
+        self._valid = self._valid.at[pos].set(True)
+        self._ids[self._n:self._n + n] = ids
+        self._n += n
+
+    def delete(self, person_id: int) -> bool:
+        rows = np.nonzero(self._ids == person_id)[0]
+        if not len(rows):
+            return False
+        self._valid = self._valid.at[jnp.asarray(rows)].set(False)
+        self._ids[rows] = -1
+        return True
+
+    def search(self, queries, k: int = 5) -> Tuple[np.ndarray, np.ndarray]:
+        """(Q, dim) or (dim,) -> (scores (Q, k), ids (Q, k)); ids -1 where
+        fewer than k valid rows exist."""
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.mesh is not None:
+            s, i = sharded_pq_top_k(q, self.codec, self._codes, self._valid,
+                                    k, self.mesh, self.axis)
+        else:
+            lut = self.codec.lut(q)
+            scores = adc_scores(lut, self._codes)
+            scores = jnp.where(self._valid[None], scores, -jnp.inf)
+            s, i = jax.lax.top_k(scores, min(k, self.capacity))
+        s = np.asarray(s)
+        i = np.asarray(i)
+        ids = np.where(np.isfinite(s), self._ids[i], -1)
+        return np.where(np.isfinite(s), s, 0.0), ids

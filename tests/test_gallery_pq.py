@@ -1,0 +1,89 @@
+"""Product-quantized gallery: codec quality, store semantics, sharded
+search parity (the million-identity scaling tier — no reference
+counterpart; Qdrant ':memory:' is a Python scan, qdrant_manager.py:40-43)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from scrfd_arcface_facerecognition_tpu.gallery import (
+    PQCodec, PQGallery, adc_scores)
+from scrfd_arcface_facerecognition_tpu.parallel import make_mesh
+
+
+def _identity_corpus(n_ids=128, per_id=16, dim=512, seed=0):
+    """Clustered unit vectors: per_id noisy copies of n_ids identities."""
+    rng = np.random.default_rng(seed)
+    ids = rng.normal(size=(n_ids, dim)).astype(np.float32)
+    ids /= np.linalg.norm(ids, axis=1, keepdims=True)
+    x = np.repeat(ids, per_id, axis=0)
+    x += rng.normal(scale=0.05, size=x.shape).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return ids, x
+
+
+@pytest.fixture(scope="module")
+def codec_and_corpus():
+    ids, corpus = _identity_corpus()
+    codec = PQCodec.train(corpus, m=64, k=128, iters=10, seed=0)
+    return codec, ids, corpus
+
+
+def test_codec_reconstruction_preserves_identity(codec_and_corpus):
+    codec, ids, corpus = codec_and_corpus
+    codes = codec.encode(corpus[:256])
+    assert codes.shape == (256, 64) and codes.dtype == jnp.uint8
+    recon = np.asarray(codec.decode(codes))
+    cos = np.sum(recon * corpus[:256], axis=1) / np.maximum(
+        np.linalg.norm(recon, axis=1), 1e-9)
+    # PQ is lossy (64 codes for 512 dims); identity-level structure must
+    # survive — the recall test below is the functional bar
+    assert np.mean(cos) > 0.8, float(np.mean(cos))
+
+
+def test_adc_matches_reconstructed_inner_product(codec_and_corpus):
+    codec, ids, corpus = codec_and_corpus
+    codes = codec.encode(corpus[:64])
+    q = ids[:4]
+    scores = np.asarray(adc_scores(codec.lut(q), codes))
+    recon = np.asarray(codec.decode(codes))
+    want = q @ recon.T
+    np.testing.assert_allclose(scores, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pq_gallery_top1_recall(codec_and_corpus):
+    codec, ids, corpus = codec_and_corpus
+    g = PQGallery(codec, capacity=2048)
+    # one exemplar per identity
+    g.add(np.arange(128), corpus[::16])
+    # query with a different noisy view of each identity
+    queries = corpus[1::16][:64]
+    _, got = g.search(queries, k=1)
+    recall = float(np.mean(got[:, 0] == np.arange(64)))
+    assert recall >= 0.95, recall
+
+
+def test_pq_gallery_delete_and_padding(codec_and_corpus):
+    codec, ids, corpus = codec_and_corpus
+    g = PQGallery(codec, capacity=64)
+    g.add([10, 11, 12], corpus[:3])
+    assert len(g) == 3
+    assert g.delete(11)
+    assert not g.delete(999)
+    scores, got = g.search(corpus[1], k=4)
+    assert 11 not in got[0]
+    # padded / deleted slots surface as id -1 with zero score
+    assert (got[0][2:] == -1).all()
+
+
+def test_sharded_pq_matches_single_device(codec_and_corpus):
+    codec, ids, corpus = codec_and_corpus
+    mesh = make_mesh((8,), ("model",))
+    g1 = PQGallery(codec, capacity=256)
+    g8 = PQGallery(codec, capacity=256, mesh=mesh)
+    g1.add(np.arange(128), corpus[::16])
+    g8.add(np.arange(128), corpus[::16])
+    q = corpus[1::16][:8]
+    s1, i1 = g1.search(q, k=5)
+    s8, i8 = g8.search(q, k=5)
+    np.testing.assert_allclose(s8, s1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i8, i1)
