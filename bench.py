@@ -49,8 +49,9 @@ def main():
 
     _enable_compile_cache()
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))  # 64 amortizes fixed
-    # per-batch costs ~11% better than 32 (docs/PERF.md optimization log)
+    batch = int(os.environ.get("BENCH_BATCH", "96"))  # measured: 32 -> 517,
+    # 64 -> 588, 96 -> 631 fps; 128 overruns HBM with 8 batches in flight
+    # (docs/PERF.md optimization log)
     rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "8"))
     gallery_size = int(os.environ.get("BENCH_GALLERY", "128"))

@@ -349,12 +349,28 @@ class SmartFaceEngine:
         # record, ...) must not kill the batch — the reference wraps every
         # visit and counts unexpected failures as no_faces
         # (smart_face_recognition.py:1973-1977).
+        # ONE batched device search against the pre-batch gallery (through
+        # a remote-PJRT transport each per-visit search pays the ~30 ms
+        # readback RTT; batching turns N round-trips into 1). Persons added
+        # DURING the batch are matched host-side in _decide_visit
+        # (batch_added below) — together equivalent to the sequential
+        # per-visit top-1 search.
+        emb_idx = [j for j, (ed, _) in enumerate(embeddings)
+                   if ed is not None]
+        pre_hits = {}
+        if emb_idx and self.vector_db.get_embedding_count() > 0:
+            q = np.stack([embeddings[j][0]["embedding"] for j in emb_idx])
+            hit_lists = self.vector_db.search_batch(q, k=5)
+            pre_hits = dict(zip(emb_idx, hit_lists))
+        batch_added: List[tuple] = []   # (pid, name, normed embedding)
+
         for n, ((i, visit), (embedding_data, reason)) in enumerate(
                 zip(active, embeddings)):
             try:
                 self._decide_visit(i, visit, embedding_data, reason,
                                    grouping_threshold, output_folder,
-                                   results, batch_groups)
+                                   results, batch_groups,
+                                   pre_hits.get(n), batch_added)
             except Exception as e:
                 logger.error("Error processing visit %s: %s", i, e)
                 results["no_faces"] += 1
@@ -367,9 +383,29 @@ class SmartFaceEngine:
         self._set_progress("idle", "done", len(active), len(active))
         return results, batch_groups
 
+    @staticmethod
+    def _best_candidate(embedding, pre_hits, batch_added):
+        """Best (person_id, name, similarity) over the pre-batch gallery
+        top-k (device, batched once per batch) and persons added during
+        this batch (host dot products) — equivalent to a sequential
+        per-visit top-1 search over the live gallery."""
+        best_id, best_name, best_sim = None, None, -1.0
+        if pre_hits:
+            h = pre_hits[0]
+            best_id, best_sim = h.id, h.score
+            best_name = h.payload.get("name", f"Person_{h.id}")
+        if batch_added:
+            e = np.asarray(embedding, np.float32)
+            e = e / max(float(np.linalg.norm(e)), 1e-12)
+            for pid, name, vec in batch_added:
+                s = float(vec @ e)
+                if s > best_sim:
+                    best_id, best_name, best_sim = pid, name, s
+        return best_id, best_name, best_sim
+
     def _decide_visit(self, i, visit, embedding_data, reason,
                       grouping_threshold, output_folder, results,
-                      batch_groups) -> None:
+                      batch_groups, pre_hits=None, batch_added=None) -> None:
         """One visit's clustering decision (reference :2086-2250 body).
 
         Counter split: the reference initializes download_failed /
@@ -396,17 +432,35 @@ class SmartFaceEngine:
             results[counter] += 1
             return
 
-        if self.is_duplicate_image(image_url, embedding_data["embedding"]):
+        if batch_added is None:
+            batch_added = []
+        best_id, best_name, best_sim = self._best_candidate(
+            embedding_data["embedding"], pre_hits, batch_added)
+        if pre_hits is None and batch_added == [] and (
+                self.vector_db.get_embedding_count() > 0):
+            # direct (non-batched) callers: fall back to a device search
+            hits = self.vector_db.search_similar(
+                embedding_data["embedding"], k=5)
+            if hits:
+                best_id, best_sim = hits[0].id, hits[0].score
+                best_name = hits[0].payload.get("name",
+                                                f"Person_{best_id}")
+
+        dup_thr = self.config["face_recognition"][
+            "duplicate_similarity_threshold"]
+        if self.db.image_url_seen(image_url) or best_sim >= dup_thr:
             results["duplicate_faces"] += 1
             return
 
         results["processed"] += 1
         saved_path = embedding_data.get("saved_image_path")
 
-        if self.vector_db.get_embedding_count() == 0:
+        if best_id is None:
             person_name = f"Person_{customer_id}_{int(time.time())}"
             pid = self.add_person(person_name, image_url, embedding_data)
             if pid > 0:
+                self._note_added(batch_added, pid, person_name,
+                                 embedding_data["embedding"])
                 self.db.store_visit(pid, visit_id, customer_id, entry_time,
                                     image_url, saved_path, 1.0)
                 batch_groups.append({
@@ -419,12 +473,13 @@ class SmartFaceEngine:
                 results["duplicate_faces"] += 1
             return
 
-        search_results = self.search_person(embedding_data["embedding"], k=5)
-        similarity = search_results[0]["similarity"] if search_results else 0.0
-        best = search_results[0] if search_results else None
+        # threshold filter the sequential search applied (search_person
+        # passes threshold=self.similarity_thresh)
+        best = best_sim >= self.similarity_thresh
+        similarity = best_sim if best else 0.0
 
         if best and similarity >= grouping_threshold:
-            pid, person_name = best["person_id"], best["name"]
+            pid, person_name = best_id, best_name
             self.db.update_person_stats(pid)
             self.db.store_visit(pid, visit_id, customer_id, entry_time,
                                 image_url, saved_path, similarity)
@@ -453,6 +508,8 @@ class SmartFaceEngine:
             person_name = f"Person_{customer_id}_{int(time.time())}"
             pid = self.add_person(person_name, image_url, embedding_data)
             if pid > 0:
+                self._note_added(batch_added, pid, person_name,
+                                 embedding_data["embedding"])
                 self.db.store_visit(pid, visit_id, customer_id, entry_time,
                                     image_url, saved_path, similarity)
                 batch_groups.append({
@@ -463,6 +520,12 @@ class SmartFaceEngine:
                 results["new_persons"] += 1
             else:
                 results["duplicate_faces"] += 1
+
+    @staticmethod
+    def _note_added(batch_added, pid, name, embedding) -> None:
+        e = np.asarray(embedding, np.float32)
+        e = e / max(float(np.linalg.norm(e)), 1e-12)
+        batch_added.append((pid, name, e))
 
     def process_visit_data(self, json_file_path: str,
                            output_folder: Optional[str] = None,

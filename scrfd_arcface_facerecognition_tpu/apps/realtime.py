@@ -133,8 +133,10 @@ def run(params: argparse.Namespace) -> dict:
     colors = {name: (random.randint(0, 256), random.randint(0, 256),
                      random.randint(0, 256)) for _, name in targets}
 
-    source = int(params.source) if str(params.source).isdigit() else params.source
-    cap = cv2.VideoCapture(source)
+    from ..runtime.video import open_capture
+
+    # native ffmpeg decoder for files/streams, cv2 for webcams/fallback
+    cap = open_capture(str(params.source))
     if not cap.isOpened():
         raise RuntimeError(f"Could not open video source {params.source!r}")
     width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))

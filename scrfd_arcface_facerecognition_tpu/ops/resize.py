@@ -48,16 +48,24 @@ def _interp_matrix(dst_size: int, src_size: int) -> np.ndarray:
     return w
 
 
-def resize_bilinear(images: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """(..., H, W, C) -> (..., h, w, C) float32, cv2 INTER_LINEAR semantics."""
+def resize_bilinear(images: jnp.ndarray, out_hw: Tuple[int, int],
+                    dtype=None) -> jnp.ndarray:
+    """(..., H, W, C) -> (..., h, w, C) float32, cv2 INTER_LINEAR semantics.
+
+    dtype selects the einsum compute precision: None/f32 is the
+    cv2-parity default; bf16 halves the matmul time on TPU (the detector
+    consumes the canvas in bf16 anyway — <=1 intensity LSB difference,
+    inside the pipeline's 1e-3 budget; see test_bf16_letterbox_close).
+    """
     h_in, w_in = images.shape[-3], images.shape[-2]
     h_out, w_out = out_hw
-    wy = jnp.asarray(_interp_matrix(h_out, h_in))
-    wx = jnp.asarray(_interp_matrix(w_out, w_in))
-    x = images.astype(jnp.float32)
+    ct = dtype or jnp.float32
+    wy = jnp.asarray(_interp_matrix(h_out, h_in)).astype(ct)
+    wx = jnp.asarray(_interp_matrix(w_out, w_in)).astype(ct)
+    x = images.astype(ct)
     x = jnp.einsum("oh,...hwc->...owc", wy, x)
     x = jnp.einsum("pw,...owc->...opc", wx, x)
-    return x
+    return x.astype(jnp.float32)
 
 
 # ----------------------------------------------------------------------
@@ -258,7 +266,7 @@ def letterbox_dynamic(frames: jnp.ndarray, wy: jnp.ndarray,
 
 
 def letterbox(frames: jnp.ndarray, plan: LetterboxPlan,
-              exact_u8: bool = False) -> jnp.ndarray:
+              exact_u8: bool = False, dtype=None) -> jnp.ndarray:
     """(..., H, W, C) frames -> (..., model_h, model_w, C) float32 canvas.
 
     Resized content sits at the top-left; padding is zeros (scrfd.py:137-138).
@@ -271,6 +279,6 @@ def letterbox(frames: jnp.ndarray, plan: LetterboxPlan,
         resized = resize_bilinear_u8_exact(frames, (new_h, new_w))
         resized = resized.astype(jnp.float32)
     else:
-        resized = resize_bilinear(frames, (new_h, new_w))
+        resized = resize_bilinear(frames, (new_h, new_w), dtype=dtype)
     pad = [(0, 0)] * (resized.ndim - 3) + [(0, mh - new_h), (0, mw - new_w), (0, 0)]
     return jnp.pad(resized, pad)

@@ -75,10 +75,15 @@ def decode_outputs(outputs: Dict[str, list], input_size: Tuple[int, int],
 def detect_batch(apply_fn, variables, frames: jnp.ndarray, *,
                  plan: ops.LetterboxPlan, conf_thres: float, iou_thres: float,
                  pre_nms: int, max_det: int, max_num: int = 0,
-                 metric: str = "max") -> Detections:
-    """Full detect over (B, H, W, 3) uint8 BGR frames. Jit-traceable."""
+                 metric: str = "max", compute_dtype=None) -> Detections:
+    """Full detect over (B, H, W, 3) uint8 BGR frames. Jit-traceable.
+
+    compute_dtype: letterbox einsum precision — bf16 halves the resize
+    matmul time when the detector itself runs bf16 (<=1 intensity LSB on
+    the canvas, inside the 1e-3 budget); None = f32 (parity default).
+    """
     input_size = plan.model_hw
-    canvas = ops.letterbox(frames, plan)                       # (B, 640, 640, 3) f32
+    canvas = ops.letterbox(frames, plan, dtype=compute_dtype)  # (B, 640, 640, 3) f32
     net_in = ops.normalize_image(canvas, ops.SCRFD_MEAN, ops.SCRFD_STD)
     outputs = apply_fn(variables, net_in)
     scores, boxes, kps = decode_outputs(outputs, input_size)
@@ -207,6 +212,7 @@ class Detector:
                  tight_canvas: bool = False):
         self.variant = variant
         self.input_size = (input_size[1], input_size[0])  # store as (h, w)
+        self.dtype = dtype
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
         self.pre_nms = pre_nms

@@ -235,12 +235,17 @@ class FacePipeline:
                     ops.letterbox_plan(frame_hw, self.detector.input_size))
             det_apply = self.detector.model.apply
 
+            cdt = (jnp.bfloat16
+                   if getattr(self.detector, "dtype", None) == jnp.bfloat16
+                   else None)
+
             def detect_fn(det_vars, frames):
                 return detect_batch(
                     det_apply, det_vars, frames, plan=plan,
                     conf_thres=self.detector.conf_thres,
                     iou_thres=self.detector.iou_thres, pre_nms=self.pre_nms,
-                    max_det=self.max_det, max_num=max_num, metric=metric)
+                    max_det=self.max_det, max_num=max_num, metric=metric,
+                    compute_dtype=cdt)
 
             self._jitted[key] = jax.jit(detect_fn)
         if "embed_match" not in self._jitted:

@@ -226,3 +226,95 @@ def snapshot_read(path: str) -> Tuple[np.ndarray, np.ndarray]:
         return emb, ids
     data = np.load(path, allow_pickle=False)
     return data["embeddings"], data["ids"]
+
+
+# ---------------------------------------------------------------------------
+# Native video decoder (native/libsafr_video.so, ffmpeg-backed)
+# ---------------------------------------------------------------------------
+
+_VIDEO_LIB_PATH = os.path.join(_NATIVE_DIR, "libsafr_video.so")
+_video_lib = None
+
+
+def _load_video():
+    global _video_lib
+    if _video_lib is not None:
+        return _video_lib
+    if not os.path.exists(_VIDEO_LIB_PATH):
+        build_native()  # `make all` also attempts the video target
+    if not os.path.exists(_VIDEO_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_VIDEO_LIB_PATH)
+    except OSError:
+        return None  # ffmpeg runtime libs absent
+    lib.vdec_open.restype = ctypes.c_void_p
+    lib.vdec_open.argtypes = [ctypes.c_char_p]
+    lib.vdec_info.restype = ctypes.c_int
+    lib.vdec_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_double)]
+    lib.vdec_read.restype = ctypes.c_int
+    lib.vdec_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_int64]
+    lib.vdec_close.argtypes = [ctypes.c_void_p]
+    _video_lib = lib
+    return lib
+
+
+class NativeVideoReader:
+    """First-party decode path: file/RTSP URL -> BGR24 uint8 frames.
+
+    cv2.VideoCapture-shaped surface (`read() -> (ok, frame)`, `release()`)
+    so BatchedFrameReader and the CLI apps can consume either. Construction
+    raises RuntimeError when the native decoder is unavailable — callers
+    fall back to cv2 (runtime/video.py open_capture)."""
+
+    def __init__(self, source: str):
+        lib = _load_video()
+        if lib is None:
+            raise RuntimeError("libsafr_video.so unavailable")
+        self._lib = lib
+        self._h = lib.vdec_open(str(source).encode())
+        if not self._h:
+            raise RuntimeError(f"cannot open video source: {source}")
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fps = ctypes.c_double()
+        lib.vdec_info(self._h, ctypes.byref(w), ctypes.byref(h),
+                      ctypes.byref(fps))
+        self.width, self.height, self.fps = w.value, h.value, fps.value
+
+    def read(self) -> Tuple[bool, Optional[np.ndarray]]:
+        if self._h is None:
+            return False, None
+        buf = np.empty((self.height, self.width, 3), np.uint8)
+        rc = self._lib.vdec_read(
+            self._h, buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes)
+        if rc == 1:
+            return True, buf
+        return False, None
+
+    def isOpened(self) -> bool:  # cv2 API mirror
+        return self._h is not None
+
+    def get(self, prop) -> float:  # minimal cv2 prop surface
+        try:
+            import cv2
+
+            return {cv2.CAP_PROP_FRAME_WIDTH: float(self.width),
+                    cv2.CAP_PROP_FRAME_HEIGHT: float(self.height),
+                    cv2.CAP_PROP_FPS: float(self.fps)}.get(prop, 0.0)
+        except ImportError:
+            return 0.0
+
+    def release(self) -> None:
+        if self._h is not None:
+            self._lib.vdec_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.release()
+        except Exception:
+            pass

@@ -63,3 +63,20 @@ class BatchedFrameReader:
     def close(self):
         if not self._empty:
             self._pipe.close()
+
+
+def open_capture(source):
+    """Open a video source: native ffmpeg decoder for file/URL sources
+    (runtime/native.py NativeVideoReader), cv2.VideoCapture otherwise
+    (webcam indices) or as fallback. Returns a cv2-shaped capture."""
+    if isinstance(source, str) and not source.isdigit():
+        try:
+            from .native import NativeVideoReader
+
+            return NativeVideoReader(source)
+        except (RuntimeError, OSError):
+            pass
+    import cv2
+
+    return cv2.VideoCapture(int(source) if isinstance(source, str)
+                            and source.isdigit() else source)

@@ -154,3 +154,16 @@ def test_norm_crop_batched():
     ])
     got = np.asarray(ops.norm_crop(jnp.asarray(img), jnp.asarray(lms)))
     assert got.shape == (4, 112, 112, 3)
+
+
+def test_bf16_letterbox_close():
+    """bf16 compute letterbox stays within ~1 intensity LSB of f32 —
+    the bound the bf16-detector pipeline relies on."""
+    import jax.numpy as jnp_
+    rng = np.random.default_rng(9)
+    frame = rng.integers(0, 256, size=(270, 480, 3), dtype=np.uint8)
+    plan = ops.letterbox_plan((270, 480), (640, 640))
+    want = np.asarray(ops.letterbox(jnp.asarray(frame), plan))
+    got = np.asarray(ops.letterbox(jnp.asarray(frame), plan,
+                                   dtype=jnp_.bfloat16))
+    assert np.max(np.abs(got - want)) <= 1.0 + 1e-4

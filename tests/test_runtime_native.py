@@ -113,3 +113,55 @@ def test_batched_frame_reader():
 def test_batched_frame_reader_empty():
     reader = BatchedFrameReader(_FakeCapture([]), batch=4)
     assert list(reader) == []
+
+
+def test_native_video_decoder_matches_cv2():
+    """NativeVideoReader (ffmpeg C++) decodes the reference's committed
+    demo.mp4 to the same frames cv2 produces (both are ffmpeg-backed;
+    color conversion may differ by ~1 LSB)."""
+    import cv2
+    import pytest
+    from scrfd_arcface_facerecognition_tpu.runtime.native import (
+        NativeVideoReader, _load_video)
+
+    if _load_video() is None:
+        pytest.skip("libsafr_video.so unavailable")
+    src = "/root/reference/assets/demo.mp4"
+    nat = NativeVideoReader(src)
+    ref = cv2.VideoCapture(src)
+    assert (nat.width, nat.height) == (
+        int(ref.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        int(ref.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+    n = 0
+    for _ in range(5):
+        ok_n, f_n = nat.read()
+        ok_r, f_r = ref.read()
+        assert ok_n == ok_r
+        if not ok_n:
+            break
+        assert f_n.shape == f_r.shape
+        diff = np.abs(f_n.astype(int) - f_r.astype(int))
+        assert diff.mean() < 2.0 and np.percentile(diff, 99) <= 4, (
+            diff.mean(), diff.max())
+        n += 1
+    nat.release()
+    ref.release()
+    assert n >= 3
+
+
+def test_open_capture_prefers_native_and_falls_back():
+    import pytest
+    from scrfd_arcface_facerecognition_tpu.runtime.video import open_capture
+    from scrfd_arcface_facerecognition_tpu.runtime.native import (
+        NativeVideoReader, _load_video)
+
+    if _load_video() is None:
+        pytest.skip("libsafr_video.so unavailable")
+    cap = open_capture("/root/reference/assets/demo.mp4")
+    assert isinstance(cap, NativeVideoReader)
+    ok, frame = cap.read()
+    assert ok and frame.dtype == np.uint8 and frame.ndim == 3
+    cap.release()
+    # nonexistent file -> cv2 fallback object (unopened), no raise
+    cap2 = open_capture("/nope/missing.mp4")
+    assert not isinstance(cap2, NativeVideoReader)
