@@ -141,3 +141,60 @@ def test_empty_gallery_edge_cases():
     assert store.search_similar(np.ones(512, np.float32), k=5) == []
     assert all_pairs_similarity(np.zeros((0, 512), np.float32)).shape == (0, 0)
     assert duplicate_groups(np.zeros((0, 512), np.float32), 0.9) == []
+
+
+def test_incremental_snapshot_roundtrip(tmp_path):
+    """base + delta segments restore to the same gallery as the live one;
+    deletions and overwrites replay; compaction folds everything back."""
+    from scrfd_arcface_facerecognition_tpu.gallery import GalleryStore
+
+    rng = np.random.default_rng(0)
+    d = str(tmp_path / "snap")
+    g = GalleryStore(capacity=64)
+    for i in range(6):
+        g.add_embedding(i, rng.normal(size=512), {"name": f"p{i}"})
+    g.snapshot_incremental(d)                      # -> base
+
+    g.add_embedding(6, rng.normal(size=512), {"name": "p6"})
+    g.add_embedding(2, rng.normal(size=512), {"name": "p2v2"})  # overwrite
+    g.delete_embedding(3)
+    p = g.snapshot_incremental(d)                  # -> delta_00001
+    assert p.endswith("delta_00001.bin")
+
+    r = GalleryStore.restore_dir(d)
+    assert sorted(r.ids()) == sorted(g.ids())
+    assert r.get_payload(2)["name"] == "p2v2"
+    assert r.get_embedding(3) is None
+    m_live, ids_live = g.dense_matrix()
+    m_r, ids_r = r.dense_matrix()
+    assert ids_live == ids_r
+    np.testing.assert_allclose(m_r, m_live, atol=1e-6)
+
+    GalleryStore.compact_snapshots(d)
+    import json, os
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        man = json.load(f)
+    assert man["deltas"] == []
+    assert not os.path.exists(os.path.join(d, "delta_00001.bin"))
+    r2 = GalleryStore.restore_dir(d)
+    assert sorted(r2.ids()) == sorted(g.ids())
+
+    # a delta with no changes is legal and restores unchanged
+    g.snapshot_incremental(d)
+    r3 = GalleryStore.restore_dir(d)
+    assert sorted(r3.ids()) == sorted(g.ids())
+
+
+def test_incremental_snapshot_replays_clear(tmp_path):
+    from scrfd_arcface_facerecognition_tpu.gallery import GalleryStore
+
+    rng = np.random.default_rng(1)
+    d = str(tmp_path / "snap2")
+    g = GalleryStore(capacity=16)
+    g.add_embedding(1, rng.normal(size=512))
+    g.snapshot_incremental(d)
+    g.clear_all()
+    g.add_embedding(2, rng.normal(size=512))
+    g.snapshot_incremental(d)
+    r = GalleryStore.restore_dir(d)
+    assert r.ids() == [2]
