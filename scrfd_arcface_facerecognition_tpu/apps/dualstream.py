@@ -41,10 +41,12 @@ def parse_args(argv=None):
 
 
 def connect_to_camera(source, reconnect_delay: float = 2.0, attempts: int = 3):
-    """Open a capture with retry (main2.py:33-76 semantics)."""
-    src = int(source) if str(source).isdigit() else source
+    """Open a capture with retry (main2.py:33-76 semantics); rtsp://
+    sources go through the native ffmpeg decoder when available."""
+    from ..runtime.video import open_capture
+
     for i in range(attempts):
-        cap = cv2.VideoCapture(src)
+        cap = open_capture(str(source))
         if cap.isOpened():
             return cap
         logger.warning("Could not open %s (attempt %d/%d)", source, i + 1,

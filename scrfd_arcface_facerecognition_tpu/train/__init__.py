@@ -21,8 +21,15 @@ from .scrfd_train import (
     SCRFDTrainer, SCRFDTrainState, SCRFDLossConfig, scrfd_loss, atss_assign,
     diou_loss, quality_focal_loss, pairwise_iou, synthetic_detection_batch,
 )
+from .detection_data import (
+    Annotation, parse_wider_annotations, batches_from_annotations,
+    letterbox_example, average_precision, evaluate_detector,
+)
 
 __all__ = ["ArcFaceTrainer", "TrainState", "arcface_margin_logits",
            "softmax_xent", "SCRFDTrainer", "SCRFDTrainState",
            "SCRFDLossConfig", "scrfd_loss", "atss_assign", "diou_loss",
-           "quality_focal_loss", "pairwise_iou", "synthetic_detection_batch"]
+           "quality_focal_loss", "pairwise_iou", "synthetic_detection_batch",
+           "Annotation", "parse_wider_annotations",
+           "batches_from_annotations", "letterbox_example",
+           "average_precision", "evaluate_detector"]
