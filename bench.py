@@ -27,27 +27,13 @@ import numpy as np
 TARGET_FPS = 500.0
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache shared with __graft_entry__.entry():
-    the driver's compile-check hits this cache instead of paying the
-    multi-minute remote compile again."""
-    import jax
-
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               os.path.join(_REPO_ROOT, ".jax_cache"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass  # cache is an optimization, never a requirement
-
-
 def main():
     import jax.numpy as jnp
     from scrfd_arcface_facerecognition_tpu.pipeline import FacePipeline
+    from scrfd_arcface_facerecognition_tpu.utils.compile_cache import (
+        enable_compile_cache)
 
-    _enable_compile_cache()
+    enable_compile_cache(_REPO_ROOT)
 
     batch = int(os.environ.get("BENCH_BATCH", "96"))  # measured: 32 -> 517,
     # 64 -> 588, 96 -> 631 fps; 128 overruns HBM with 8 batches in flight

@@ -31,6 +31,11 @@ struct VDec {
     int height = 0;
     double fps = 0.0;
     bool eof_sent = false;
+    // geometry the cached SwsContext was built for — streams (RTSP
+    // renegotiation) can change mid-decode, requiring a rebuild
+    int sws_w = 0;
+    int sws_h = 0;
+    int sws_fmt = AV_PIX_FMT_NONE;
 };
 
 void vdec_free(VDec* v) {
@@ -106,13 +111,19 @@ int vdec_read(void* handle, uint8_t* out, int64_t capacity) {
     for (;;) {
         int rc = avcodec_receive_frame(v->dec, v->frame);
         if (rc == 0) {
-            if (!v->sws) {
+            if (!v->sws || v->frame->width != v->sws_w ||
+                v->frame->height != v->sws_h ||
+                v->frame->format != v->sws_fmt) {
+                if (v->sws) sws_freeContext(v->sws);
                 v->sws = sws_getContext(
                     v->frame->width, v->frame->height,
                     static_cast<AVPixelFormat>(v->frame->format),
                     v->width, v->height, AV_PIX_FMT_BGR24,
                     SWS_BILINEAR, nullptr, nullptr, nullptr);
                 if (!v->sws) return -4;
+                v->sws_w = v->frame->width;
+                v->sws_h = v->frame->height;
+                v->sws_fmt = v->frame->format;
             }
             uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
             int dst_stride[4] = {v->width * 3, 0, 0, 0};

@@ -177,7 +177,7 @@ class PQGallery:
         self._codes = jnp.zeros((capacity, codec.m), jnp.uint8)
         self._valid = jnp.zeros((capacity,), bool)
         self._ids = np.full((capacity,), -1, np.int64)
-        self._n = 0
+        self._free = list(range(capacity - 1, -1, -1))  # deleted slots reuse
         if mesh is not None:
             sh = NamedSharding(mesh, P(axis, None))
             self._codes = jax.device_put(self._codes, sh)
@@ -185,19 +185,19 @@ class PQGallery:
                                          NamedSharding(mesh, P(axis)))
 
     def __len__(self) -> int:
-        return self._n
+        return self.capacity - len(self._free)
 
     def add(self, ids, embeddings) -> None:
         ids = np.atleast_1d(np.asarray(ids, np.int64))
         codes = self.codec.encode(np.atleast_2d(embeddings))
         n = len(ids)
-        if self._n + n > self.capacity:
+        if n > len(self._free):
             raise ValueError(f"PQ gallery full ({self.capacity})")
-        pos = jnp.arange(self._n, self._n + n)
+        rows = np.asarray([self._free.pop() for _ in range(n)])
+        pos = jnp.asarray(rows)
         self._codes = self._codes.at[pos].set(codes)
         self._valid = self._valid.at[pos].set(True)
-        self._ids[self._n:self._n + n] = ids
-        self._n += n
+        self._ids[rows] = ids
 
     def delete(self, person_id: int) -> bool:
         rows = np.nonzero(self._ids == person_id)[0]
@@ -205,6 +205,7 @@ class PQGallery:
             return False
         self._valid = self._valid.at[jnp.asarray(rows)].set(False)
         self._ids[rows] = -1
+        self._free.extend(int(r) for r in rows)
         return True
 
     def search(self, queries, k: int = 5) -> Tuple[np.ndarray, np.ndarray]:

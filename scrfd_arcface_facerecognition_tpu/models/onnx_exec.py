@@ -67,6 +67,36 @@ def _pair(v, default=(1, 1)):
     return tuple(int(i) for i in v)
 
 
+def _resolve_pads(attrs, in_hw, kernel, strides, dilations):
+    """((top, bottom), (left, right)) honoring ONNX auto_pad.
+
+    NOTSET -> explicit 'pads' [t, l, b, r]; VALID -> zero;
+    SAME_UPPER/SAME_LOWER -> pad so out = ceil(in/stride), extra on the
+    end/begin side respectively (ONNX Conv spec).
+    """
+    auto = attrs.get("auto_pad", b"NOTSET")
+    if isinstance(auto, bytes):
+        auto = auto.decode()
+    if auto in ("NOTSET", ""):
+        pads = attrs.get("pads", [0, 0, 0, 0])
+        if isinstance(pads, (int, np.integer)):
+            pads = [int(pads)] * 4
+        return ((int(pads[0]), int(pads[2])), (int(pads[1]), int(pads[3])))
+    if auto == "VALID":
+        return ((0, 0), (0, 0))
+    if auto in ("SAME_UPPER", "SAME_LOWER"):
+        out = []
+        for size, k, s, d in zip(in_hw, kernel, strides, dilations):
+            eff_k = (k - 1) * d + 1
+            n_out = -(-int(size) // s)
+            total = max((n_out - 1) * s + eff_k - int(size), 0)
+            small, big = total // 2, total - total // 2
+            out.append((small, big) if auto == "SAME_UPPER"
+                       else (big, small))
+        return tuple(out)
+    raise UnsupportedOp(f"auto_pad={auto!r}")
+
+
 class OnnxModel:
     """Jit-compatible executor for one ONNX graph.
 
@@ -202,11 +232,8 @@ class OnnxModel:
             groups = int(attrs.get("group", 1))
             strides = _pair(attrs.get("strides"))
             dil = _pair(attrs.get("dilations"))
-            pads = attrs.get("pads", [0, 0, 0, 0])
-            if isinstance(pads, (int, np.integer)):
-                pads = [int(pads)] * 4
-            padding = [(int(pads[0]), int(pads[2])),
-                       (int(pads[1]), int(pads[3]))]
+            padding = _resolve_pads(attrs, xv.shape[1:3],
+                                    (k.shape[0], k.shape[1]), strides, dil)
             y = lax.conv_general_dilated(
                 xv, jnp.asarray(k, self.dtype), window_strides=strides,
                 padding=padding, rhs_dilation=dil,
@@ -349,31 +376,53 @@ class OnnxModel:
                 return
             if op in ("Resize", "Upsample"):
                 # nearest 2x (the FPN top-down path); general scales via
-                # repeat when integer.
+                # repeat when integer. Inputs are POSITIONAL per the spec:
+                # Upsample(X, scales); Resize(X, roi, scales, sizes) — a
+                # 'sizes' input (absolute dims, opset 11+) must not be
+                # misread as scale factors.
+                def _static(name):
+                    if name and name in env and isinstance(
+                            env[name][1], np.ndarray):
+                        return env[name][1]
+                    return None
+
                 scales = None
-                for cand in ins[1:]:
-                    if cand and isinstance(env[cand][1], np.ndarray):
-                        arr = env[cand][1]
-                        if arr.size == 4:
-                            scales = arr.astype(np.float64)
+                if op == "Upsample":
+                    arr = _static(ins[1]) if len(ins) > 1 else None
+                    if arr is not None and arr.size == 4:
+                        scales = arr.astype(np.float64)
+                else:
+                    arr = _static(ins[2]) if len(ins) > 2 else None
+                    if arr is not None and arr.size == 4:
+                        scales = arr.astype(np.float64)
+                    elif len(ins) > 3:
+                        sizes = _static(ins[3])
+                        if sizes is not None and sizes.size == 4:
+                            # NCHW sizes -> per-axis scale vs current shape
+                            cur_h, cur_w = xv.shape[1], xv.shape[2]
+                            scales = np.asarray(
+                                [1.0, 1.0, float(sizes[2]) / cur_h,
+                                 float(sizes[3]) / cur_w])
                 if scales is None and "scales" in attrs:
                     scales = np.asarray(attrs["scales"], np.float64)
                 if scales is None or scales.size != 4:
                     raise UnsupportedOp("Resize without static scales")
                 sh, sw = int(round(scales[2])), int(round(scales[3]))
                 mode = attrs.get("mode", "nearest")
-                if mode not in ("nearest",) or sh < 1 or sw < 1:
+                if isinstance(mode, bytes):
+                    mode = mode.decode()
+                if (mode not in ("nearest",) or sh < 1 or sw < 1
+                        or abs(scales[2] - sh) > 1e-6
+                        or abs(scales[3] - sw) > 1e-6):
                     raise UnsupportedOp(f"Resize mode={mode} scales={scales}")
                 y = jnp.repeat(jnp.repeat(xv, sh, axis=1), sw, axis=2)
                 env[out] = ("nhwc", y)
                 return
             kernel = _pair(attrs.get("kernel_shape"))
             strides = _pair(attrs.get("strides"))
-            pads = attrs.get("pads", [0, 0, 0, 0])
-            if isinstance(pads, (int, np.integer)):
-                pads = [int(pads)] * 4
-            padding = ((0, 0), (int(pads[0]), int(pads[2])),
-                       (int(pads[1]), int(pads[3])), (0, 0))
+            hw_pads = _resolve_pads(attrs, xv.shape[1:3], kernel, strides,
+                                    (1, 1))
+            padding = ((0, 0), hw_pads[0], hw_pads[1], (0, 0))
             if op == "MaxPool":
                 y = lax.reduce_window(
                     xv, -jnp.inf, lax.max, (1, *kernel, 1), (1, *strides, 1),

@@ -121,10 +121,17 @@ def prepare_warp_params(matrices: jnp.ndarray, frame_idx: jnp.ndarray,
     fallback = (jnp.abs(v) > PHI_MAX) | (sigma > SIGMA_MAX)
 
     # rows stay in full source coordinates (whole planes are VMEM-resident);
-    # only the x-window needs a 128-aligned origin.
+    # only the x-window needs a 128-aligned origin. The upper clamp must
+    # itself be 128-aligned (the kernel promises pl.multiple_of(ox, 128) to
+    # Mosaic): clamp against the lane-PADDED width (warp_crops_pallas pads
+    # planes to 128 multiples; taps past the logical width read those zero
+    # lanes, which is exactly the zero-border the warp defines). Sources
+    # narrower than PW never reach here: level 0 requires fw >= PW and the
+    # canvas is floored at 512 wide (ops.tight_letterbox_plan min_hw).
     oy = jnp.zeros_like(src_h)
+    padded_w = ((src_w + 127) // 128) * 128
     ox = jnp.clip(((cxl - PW / 2).astype(jnp.int32) // 128) * 128, 0,
-                  jnp.maximum(src_w - PW, 0))
+                  jnp.maximum(padded_w - PW, 0))
     my = cyl
     mx = cxl - ox.astype(jnp.float32)
 

@@ -236,12 +236,22 @@ _VIDEO_LIB_PATH = os.path.join(_NATIVE_DIR, "libsafr_video.so")
 _video_lib = None
 
 
+_video_build_attempted = False
+
+
 def _load_video():
-    global _video_lib
+    global _video_lib, _video_build_attempted
     if _video_lib is not None:
         return _video_lib
-    if not os.path.exists(_VIDEO_LIB_PATH):
-        build_native()  # `make all` also attempts the video target
+    if not os.path.exists(_VIDEO_LIB_PATH) and not _video_build_attempted:
+        # build_native() short-circuits once the CORE lib exists, so the
+        # video target needs its own make invocation here
+        _video_build_attempted = True
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "video"],
+                           check=False, capture_output=True, timeout=120)
+        except Exception:
+            pass
     if not os.path.exists(_VIDEO_LIB_PATH):
         return None
     try:

@@ -75,7 +75,12 @@ def parse_wider_annotations(label_path: str,
 def letterbox_example(image: np.ndarray, ann: Annotation,
                       input_size: Tuple[int, int] = (640, 640),
                       max_gt: int = 32):
-    """One training example: letterboxed image + transformed, padded gt."""
+    """One training example: letterboxed image + transformed, padded gt.
+
+    Returns (canvas, gt_boxes, gt_kps, gt_valid, gt_kps_valid): faces with
+    unlabeled landmarks (Annotation.kps_valid False) keep box supervision
+    but are masked out of the landmark loss (scrfd_loss gt_kps_valid).
+    """
     h, w = image.shape[:2]
     plan = ops.letterbox_plan((h, w), input_size)
     import jax.numpy as jnp
@@ -86,11 +91,12 @@ def letterbox_example(image: np.ndarray, ann: Annotation,
     gt_boxes = np.zeros((max_gt, 4), np.float32)
     gt_kps = np.zeros((max_gt, 5, 2), np.float32)
     gt_valid = np.zeros((max_gt,), bool)
+    gt_kps_valid = np.zeros((max_gt,), bool)
     gt_boxes[:n] = ann.boxes[:n] * s
-    k = np.nan_to_num(ann.kps[:n], nan=0.0) * s
-    gt_kps[:n] = k
+    gt_kps[:n] = np.nan_to_num(ann.kps[:n], nan=0.0) * s
     gt_valid[:n] = True
-    return canvas, gt_boxes, gt_kps, gt_valid
+    gt_kps_valid[:n] = ann.kps_valid[:n]
+    return canvas, gt_boxes, gt_kps, gt_valid, gt_kps_valid
 
 
 def batches_from_annotations(anns: Sequence[Annotation], batch: int,
@@ -109,26 +115,24 @@ def batches_from_annotations(anns: Sequence[Annotation], batch: int,
         image_loader = cv2.imread
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(anns))
-    buf_img, buf_b, buf_k, buf_v = [], [], [], []
+    bufs = ([], [], [], [], [])
     for idx in order:
         ann = anns[idx]
         img = image_loader(ann.path)
         if img is None:
             continue
-        canvas, b, k, v = letterbox_example(img, ann, input_size, max_gt)
-        buf_img.append(canvas)
-        buf_b.append(b)
-        buf_k.append(k)
-        buf_v.append(v)
-        if len(buf_img) == batch:
-            images = np.stack(buf_img)
+        for buf, val in zip(bufs, letterbox_example(img, ann, input_size,
+                                                    max_gt)):
+            buf.append(val)
+        if len(bufs[0]) == batch:
+            images = np.stack(bufs[0])
             if normalize:
                 import jax.numpy as jnp
 
                 images = np.asarray(ops.normalize_image(
                     jnp.asarray(images), ops.SCRFD_MEAN, ops.SCRFD_STD))
-            yield (images, np.stack(buf_b), np.stack(buf_k), np.stack(buf_v))
-            buf_img, buf_b, buf_k, buf_v = [], [], [], []
+            yield (images,) + tuple(np.stack(b) for b in bufs[1:])
+            bufs = ([], [], [], [], [])
 
 
 # --------------------------------------------------------------------------

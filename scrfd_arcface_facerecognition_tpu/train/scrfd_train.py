@@ -189,13 +189,19 @@ def _anchor_boxes(cfg: SCRFDLossConfig) -> Tuple[np.ndarray, np.ndarray, list]:
 
 
 def scrfd_loss(outputs, gt_boxes: jnp.ndarray, gt_kps: jnp.ndarray,
-               gt_valid: jnp.ndarray, cfg: SCRFDLossConfig):
+               gt_valid: jnp.ndarray, cfg: SCRFDLossConfig,
+               gt_kps_valid: Optional[jnp.ndarray] = None):
     """Total detection loss for a batch.
 
     outputs: the SCRFDNet head dict (per-stride lists; scores post-sigmoid,
     bbox/kps predictions in stride units). gt_boxes (B, M, 4) pixels;
-    gt_kps (B, M, 5, 2); gt_valid (B, M). Returns (loss, metrics dict).
+    gt_kps (B, M, 5, 2); gt_valid (B, M); gt_kps_valid (B, M) — faces with
+    unlabeled landmarks (WIDER flag -1) contribute cls+box loss but are
+    masked out of the kps term (None = all labeled). Returns
+    (loss, metrics dict).
     """
+    if gt_kps_valid is None:
+        gt_kps_valid = gt_valid
     centers_np, aboxes_np, level_sizes = _anchor_boxes(cfg)
     centers = jnp.asarray(centers_np)
     aboxes = jnp.asarray(aboxes_np)
@@ -238,7 +244,12 @@ def scrfd_loss(outputs, gt_boxes: jnp.ndarray, gt_kps: jnp.ndarray,
                / stride_rep[None, :, None, None])
     kps_off = kps_pred.reshape(*kps_pred.shape[:2], cfg.num_kps, 2)
     kps_l = jnp.sum(smooth_l1(kps_off - tgt_off), axis=(-1, -2))
-    kps_loss = jnp.sum(jnp.where(pos, kps_l, 0.0)) / n_pos
+    # mask anchors whose assigned face has no landmark labels
+    anchor_kps_ok = jnp.take_along_axis(
+        gt_kps_valid, jnp.maximum(assigned, 0), axis=1)
+    kps_pos = pos & anchor_kps_ok
+    n_kps = jnp.maximum(jnp.sum(kps_pos), 1.0)
+    kps_loss = jnp.sum(jnp.where(kps_pos, kps_l, 0.0)) / n_kps
 
     loss = (cfg.cls_weight * cls_loss + cfg.box_weight * box_loss
             + cfg.kps_weight * kps_loss)
@@ -293,7 +304,7 @@ class SCRFDTrainer:
                             is_leaf=lambda x: hasattr(x, "shape"))
 
     def _loss_fn(self, params, batch_stats, images, gt_boxes, gt_kps,
-                 gt_valid):
+                 gt_valid, gt_kps_valid):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -304,18 +315,18 @@ class SCRFDTrainer:
             outputs = self.model.apply(variables, images, train=True)
             new_stats = batch_stats
         loss, metrics = scrfd_loss(outputs, gt_boxes, gt_kps, gt_valid,
-                                   self.loss_cfg)
+                                   self.loss_cfg, gt_kps_valid=gt_kps_valid)
         return loss, (new_stats, metrics)
 
     def _step(self, state: SCRFDTrainState, images, gt_boxes, gt_kps,
-              gt_valid):
+              gt_valid, gt_kps_valid):
         images = jax.lax.with_sharding_constraint(
             images, NamedSharding(self.mesh, P("data")))
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(
                 state.variables["params"],
                 state.variables.get("batch_stats", {}),
-                images, gt_boxes, gt_kps, gt_valid)
+                images, gt_boxes, gt_kps, gt_valid, gt_kps_valid)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.variables["params"])
         params = optax.apply_updates(state.variables["params"], updates)
@@ -325,9 +336,10 @@ class SCRFDTrainer:
         return new_state, loss, metrics
 
     def train_step(self, state: SCRFDTrainState, images, gt_boxes, gt_kps,
-                   gt_valid):
+                   gt_valid, gt_kps_valid=None):
         """One sharded update. images (B, H, W, 3) f32 normalized;
-        gt_boxes (B, M, 4); gt_kps (B, M, 5, 2); gt_valid (B, M) bool.
+        gt_boxes (B, M, 4); gt_kps (B, M, 5, 2); gt_valid (B, M) bool;
+        gt_kps_valid (B, M) bool (None = every valid face has landmarks).
         B must divide the 'data' axis size."""
         if self._jit_step is None:
             data = NamedSharding(self.mesh, P("data"))
@@ -335,10 +347,13 @@ class SCRFDTrainer:
                 self._step,
                 in_shardings=(None,
                               NamedSharding(self.mesh, P("data", None, None, None)),
-                              data, data, data))
+                              data, data, data, data))
+        gt_valid = jnp.asarray(gt_valid)
+        kv = (gt_valid if gt_kps_valid is None
+              else jnp.asarray(gt_kps_valid))
         return self._jit_step(state, jnp.asarray(images),
                               jnp.asarray(gt_boxes), jnp.asarray(gt_kps),
-                              jnp.asarray(gt_valid))
+                              gt_valid, kv)
 
 
 def synthetic_detection_batch(rng: np.random.Generator, batch: int,

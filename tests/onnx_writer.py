@@ -94,3 +94,8 @@ def encode_model(nodes: List[bytes], initializers: Dict[str, np.ndarray],
         graph += _len_field(12, _value_info(o))
     model = _varint_field(1, 8) + _len_field(7, bytes(graph))  # ir_version+graph
     return model
+
+
+def encode_attr_string(name: str, s: str) -> bytes:
+    return (_len_field(1, name.encode()) + _len_field(4, s.encode())
+            + _varint_field(20, 3))

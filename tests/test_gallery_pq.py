@@ -87,3 +87,19 @@ def test_sharded_pq_matches_single_device(codec_and_corpus):
     s8, i8 = g8.search(q, k=5)
     np.testing.assert_allclose(s8, s1, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(i8, i1)
+
+
+def test_pq_gallery_slot_reuse_under_churn(codec_and_corpus):
+    """Deleted slots must be reusable: capacity-N store survives >N
+    cumulative adds when deletions keep the live count below capacity."""
+    codec, ids, corpus = codec_and_corpus
+    g = PQGallery(codec, capacity=8)
+    for round_ in range(5):               # 5*4 = 20 cumulative adds > 8
+        base = round_ * 4
+        g.add(np.arange(base, base + 4), corpus[base:base + 4])
+        for i in range(base, base + 4):
+            g.delete(i)
+    assert len(g) == 0
+    g.add([999], corpus[:1])
+    _, got = g.search(corpus[0], k=1)
+    assert got[0, 0] == 999

@@ -153,3 +153,53 @@ def test_pipeline_runs_on_graph_models(tmp_path):
     out = pipe(frames, max_num=2)
     assert out.boxes.shape[0] == 1
     assert np.isfinite(np.asarray(out.match_sim)).all()
+
+
+def test_conv_auto_pad_same_upper(tmp_path):
+    """auto_pad=SAME_UPPER (no explicit pads) must behave like SAME, not
+    silently degrade to zero padding."""
+    from onnx_writer import (encode_model, encode_node, encode_attr_ints,
+                             encode_attr_string)
+    import jax.lax as lax
+
+    rng = np.random.default_rng(0)
+    k = rng.normal(scale=0.1, size=(4, 2, 3, 3)).astype(np.float32)  # OIHW
+    node = encode_node("Conv", ["x", "w"], ["y"], attrs=[
+        encode_attr_string("auto_pad", "SAME_UPPER"),
+        encode_attr_ints("kernel_shape", [3, 3]),
+        encode_attr_ints("strides", [2, 2])])
+    path = str(tmp_path / "sameupper.onnx")
+    with open(path, "wb") as f:
+        f.write(encode_model([node], {"w": k}, ["x"], ["y"]))
+    m = onnx_model(path)
+    x = rng.normal(size=(1, 7, 7, 2)).astype(np.float32)
+    # outputs come back in ONNX (NCHW) semantics
+    got = np.asarray(m.apply(m.variables, jnp.asarray(x))[0]
+                     ).transpose(0, 2, 3, 1)
+    # SAME with stride 2 on 7: out=4, total pad = 3*2+3-7 = 2 -> (1, 1)
+    want = np.asarray(lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k.transpose(2, 3, 1, 0)), (2, 2),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert got.shape == (1, 4, 4, 4)
+
+
+def test_resize_sizes_input(tmp_path):
+    """Resize with the opset-11 'sizes' input (absolute dims) must scale by
+    sizes/current, not treat the values as scale factors."""
+    from onnx_writer import (encode_model, encode_node, encode_attr_string,
+                             encode_tensor)
+
+    rng = np.random.default_rng(1)
+    sizes = np.asarray([1, 3, 8, 8], np.int64)
+    node = encode_node("Resize", ["x", "", "", "sizes"], ["y"], attrs=[
+        encode_attr_string("mode", "nearest")])
+    path = str(tmp_path / "resize_sizes.onnx")
+    with open(path, "wb") as f:
+        f.write(encode_model([node], {"sizes": sizes}, ["x"], ["y"]))
+    m = onnx_model(path)
+    x = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)    # NHWC executor
+    got = np.asarray(m.apply(m.variables, jnp.asarray(x))[0]
+                     ).transpose(0, 2, 3, 1)                # NCHW out
+    want = np.repeat(np.repeat(x, 2, axis=1), 2, axis=2)
+    np.testing.assert_allclose(got, want)

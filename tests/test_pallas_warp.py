@@ -213,3 +213,22 @@ def test_pipeline_policy_selects_mixed_path():
         pipe._read_counts = lambda det, n=n_fb: (2, n)
         pipe._finish(jnp.zeros((1, 8, 8, 3), jnp.uint8), FakeDet(n_fb), placed)
         assert calls[-1] == want, (n_fb, calls[-1])
+
+
+def test_window_origin_always_128_aligned():
+    """ox must honor the kernel's pl.multiple_of(ox, 128) promise even when
+    the right-edge clamp binds on non-128-multiple source widths (e.g. the
+    576-wide tight canvas of a portrait frame, or a 1080-wide frame)."""
+    for fw, cw in [(1080, 576), (900, 512), (1920, 640), (640, 640)]:
+        # faces marching across the full width
+        cxs = np.linspace(10, fw - 10, 13, dtype=np.float32)
+        ms = _matrices([(1.0, 0.0, float(cx), 300.0) for cx in cxs])
+        params = pw.prepare_warp_params(
+            ms, jnp.zeros((len(cxs),), jnp.int32), (1100, fw), 0.5,
+            canvas_hw=(640, cw))
+        ox = np.asarray(params.iparams[:, 3])
+        assert (ox % 128 == 0).all(), (fw, cw, ox)
+        # window must stay inside the lane-padded plane
+        src_w = np.where(np.asarray(params.iparams[:, 1]) == 0, fw, cw)
+        padded = -(-src_w // 128) * 128
+        assert (ox + pw.PW <= padded).all(), (fw, cw, ox, padded)

@@ -145,12 +145,40 @@ def test_batches_and_letterbox_gt_transform(tmp_path):
         anns, batch=2, input_size=(64, 64), max_gt=3,
         image_loader=lambda p: imgs[p]))
     assert len(batches) == 2
-    images, gb, gk, gv = batches[0]
+    images, gb, gk, gv, gkv = batches[0]
     assert images.shape == (2, 64, 64, 3)
     # scale 64/320 = 0.2: the 64..192 box lands at 12.8..38.4
     np.testing.assert_allclose(gb[0, 0], [12.8, 12.8, 38.4, 38.4], atol=1e-4)
     np.testing.assert_allclose(gk[0, 0, 0], [20.0, 20.0], atol=1e-4)
     assert gv[0].tolist() == [True, False, False]
+    assert gkv[0].tolist() == [True, False, False]
+
+
+def test_kps_loss_masked_for_unlabeled_faces():
+    """A face with kps_valid False must contribute zero landmark loss."""
+    from scrfd_arcface_facerecognition_tpu.train.scrfd_train import (
+        scrfd_loss, _anchor_boxes)
+    import jax
+
+    # fake head outputs: zeros everywhere
+    h, w = CFG64.input_size
+    outs = {"scores": [], "bboxes": [], "kps": []}
+    for s in CFG64.strides:
+        n = (h // s) * (w // s) * CFG64.num_anchors
+        outs["scores"].append(jnp.full((1, n, 1), 0.01))
+        outs["bboxes"].append(jnp.ones((1, n, 4)))
+        outs["kps"].append(jnp.full((1, n, 10), 5.0))  # way-off landmarks
+    gt_b = jnp.asarray([[[8., 8., 40., 40.]]])
+    gt_k = jnp.asarray(np.zeros((1, 1, 5, 2), np.float32))
+    gt_v = jnp.asarray([[True]])
+    _, m_on = scrfd_loss(outs, gt_b, gt_k, gt_v, CFG64,
+                         gt_kps_valid=jnp.asarray([[True]]))
+    _, m_off = scrfd_loss(outs, gt_b, gt_k, gt_v, CFG64,
+                          gt_kps_valid=jnp.asarray([[False]]))
+    assert float(m_on["kps"]) > 0.0
+    assert float(m_off["kps"]) == 0.0
+    # cls/box supervision unaffected by the kps mask
+    assert float(m_on["box"]) == float(m_off["box"])
 
 
 def test_average_precision_perfect_and_misses():
