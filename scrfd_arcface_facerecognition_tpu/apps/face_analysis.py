@@ -106,10 +106,21 @@ class FaceAnalysis:
                 bw = -(-shape[1] // b) * b
                 dyn_by_bucket.setdefault((bh, bw), []).extend(idxs)
 
-        for idxs in static_chunks:
-            batch = np.stack([images[i] for i in idxs])
-            res = self._pipe(jnp.asarray(batch), max_num=max_num)
-            self._scatter_faces(res, idxs, out)
+        if len(static_chunks) > 1:
+            # stream the chunks: detect for chunk i+1 dispatches before
+            # chunk i's bucketing readback, hiding the device->host RTT
+            # (FacePipeline.process_stream; chunks may differ in shape)
+            batches = (jnp.asarray(np.stack([images[i] for i in idxs]))
+                       for idxs in static_chunks)
+            for idxs, res in zip(static_chunks,
+                                 self._pipe.process_stream(
+                                     batches, max_num=max_num)):
+                self._scatter_faces(res, idxs, out)
+        else:
+            for idxs in static_chunks:
+                batch = np.stack([images[i] for i in idxs])
+                res = self._pipe(jnp.asarray(batch), max_num=max_num)
+                self._scatter_faces(res, idxs, out)
 
         model_hw = self.detector.input_size
         for (bh, bw), idxs in dyn_by_bucket.items():

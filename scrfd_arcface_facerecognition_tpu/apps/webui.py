@@ -83,6 +83,16 @@ INDEX_HTML = """<!DOCTYPE html>
       <br><button onclick="processVisits()">Process</button>
     </div>
     <div class="card">
+      <h3>Fetch visits from API</h3>
+      <label>start <input id="fstart" type="date"></label>
+      <label>end <input id="fend" type="date"></label><br>
+      <label>page <input id="fpage" type="number" value="0" style="width:60px"></label>
+      <label>limit <input id="flimit" type="number" value="100" style="width:70px"></label>
+      <label><input id="fclear" type="checkbox"> clear existing</label>
+      <br><button onclick="fetchVisitsFromApi()">Fetch &amp; process</button>
+      <div id="fetchout" style="font-size:12px;color:var(--dim)"></div>
+    </div>
+    <div class="card">
       <h3>Actions</h3>
       <label>merge threshold <input id="mergeth" type="number" step="0.05" value="0.8" style="width:70px"></label>
       <button onclick="mergeDuplicates()">Merge duplicates</button><br>
@@ -227,6 +237,24 @@ async function runComparisons() {
     $('cmpout').innerHTML = '<pre>' + JSON.stringify(r.summary, null, 2) +
       '\\naccuracy vs API: ' + r.accuracy_vs_api + '%</pre>';
   } catch (e) { $('cmpout').innerHTML = 'Failed: ' + e.message; }
+}
+
+async function fetchVisitsFromApi() {
+  try {
+    status('Fetching from API…');
+    pollProgress(true);
+    const r = await api('/api/process-visits-from-api', {method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body: JSON.stringify({
+        start_date: $('fstart').value || undefined,
+        end_date: $('fend').value || undefined,
+        page: parseInt($('fpage').value), limit: parseInt($('flimit').value),
+        clear_existing: $('fclear').checked})});
+    $('fetchout').textContent = `fetched ${r.fetched} visits`;
+    status('Done: ' + JSON.stringify(r.results));
+    loadStats(); renderTab();
+  } catch (e) { status('Failed: ' + e.message, false); }
+  finally { pollProgress(false); }
 }
 
 async function mergeDuplicates() {

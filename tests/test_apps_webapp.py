@@ -245,3 +245,14 @@ def test_image_base64_roundtrip(app, tmp_path):
     assert status == 200
     assert payload["image"].startswith("data:image/jpeg;base64,")
     assert app.dispatch("GET", "/api/image-base64/nope.jpg")[0] == 404
+
+
+def test_ui_has_api_fetch_form():
+    """Reference UI surface: a fetch-from-API form posting to
+    /api/process-visits-from-api (templates/index.html controls)."""
+    from scrfd_arcface_facerecognition_tpu.apps.webui import INDEX_HTML
+
+    assert "fetchVisitsFromApi" in INDEX_HTML
+    assert "/api/process-visits-from-api" in INDEX_HTML
+    for field in ("fstart", "fend", "fpage", "flimit"):
+        assert field in INDEX_HTML
