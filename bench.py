@@ -39,7 +39,7 @@ def main():
     # 64 -> 588, 96 -> 631 fps; 128 overruns HBM with 8 batches in flight
     # (docs/PERF.md optimization log)
     rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
-    pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "8"))
+    pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "12"))
     gallery_size = int(os.environ.get("BENCH_GALLERY", "128"))
     max_det = int(os.environ.get("BENCH_MAX_DET", "16"))
     max_num = int(os.environ.get("BENCH_MAX_NUM", "10"))  # BASELINE config 3
