@@ -46,6 +46,8 @@ _SLOW_FILES = {
     "test_onnx_exec.py",
     "test_onnx_import.py",
     "test_golden_fixtures.py",
+    "test_replay_real_visits.py",
+    "test_gallery_pq.py",
 }
 
 
