@@ -106,20 +106,32 @@ class FaceAnalysis:
                 bw = -(-shape[1] // b) * b
                 dyn_by_bucket.setdefault((bh, bw), []).extend(idxs)
 
+        def pow2_batch(idxs):
+            """Stack a chunk, zero-padding the batch dim to the next power
+            of two: arbitrary trailing-chunk sizes would each compile a
+            fresh program (30-60 s on a remote-compiler TPU); power-of-2
+            sizes bound the compile count at <=2x padded compute."""
+            n = len(idxs)
+            b = 1
+            while b < n:
+                b *= 2
+            batch = np.zeros((b, *images[idxs[0]].shape), np.uint8)
+            for bi, i in enumerate(idxs):
+                batch[bi] = images[i]
+            return jnp.asarray(batch)
+
         if len(static_chunks) > 1:
             # stream the chunks: detect for chunk i+1 dispatches before
             # chunk i's bucketing readback, hiding the device->host RTT
             # (FacePipeline.process_stream; chunks may differ in shape)
-            batches = (jnp.asarray(np.stack([images[i] for i in idxs]))
-                       for idxs in static_chunks)
+            batches = (pow2_batch(idxs) for idxs in static_chunks)
             for idxs, res in zip(static_chunks,
                                  self._pipe.process_stream(
                                      batches, max_num=max_num)):
                 self._scatter_faces(res, idxs, out)
         else:
             for idxs in static_chunks:
-                batch = np.stack([images[i] for i in idxs])
-                res = self._pipe(jnp.asarray(batch), max_num=max_num)
+                res = self._pipe(pow2_batch(idxs), max_num=max_num)
                 self._scatter_faces(res, idxs, out)
 
         model_hw = self.detector.input_size
@@ -129,22 +141,26 @@ class FaceAnalysis:
             step = max(1, min(self.chunk, 8))
             for c in range(0, len(idxs), step):
                 part = idxs[c:c + step]
-                frames = np.zeros((len(part), bh, bw, 3), np.uint8)
-                wys, wxs, scales, hws = [], [], [], []
+                b = 1
+                while b < len(part):   # pow-2 batch: bounded compile count
+                    b *= 2
+                frames = np.zeros((b, bh, bw, 3), np.uint8)
+                wys = np.zeros((b, model_hw[0], bh), np.float32)
+                wxs = np.zeros((b, model_hw[1], bw), np.float32)
+                scales = np.ones((b,), np.float32)
+                hws = np.full((b, 2), (bh, bw), np.int32)
                 for bi, i in enumerate(part):
                     im = images[i]
                     h, w = im.shape[:2]
                     frames[bi, :h, :w] = im
                     wy, wx, s = ops.letterbox_matrices((h, w), (bh, bw),
                                                        model_hw)
-                    wys.append(wy)
-                    wxs.append(wx)
-                    scales.append(s)
-                    hws.append((h, w))
+                    wys[bi] = wy
+                    wxs[bi] = wx
+                    scales[bi] = s
+                    hws[bi] = (h, w)
                 res = self._pipe.call_dynamic(
-                    frames, np.stack(wys), np.stack(wxs),
-                    np.asarray(scales, np.float32),
-                    np.asarray(hws, np.int32), max_num=max_num)
+                    frames, wys, wxs, scales, hws, max_num=max_num)
                 self._scatter_faces(res, part, out)
         return out  # type: ignore[return-value]
 

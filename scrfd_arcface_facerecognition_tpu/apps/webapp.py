@@ -327,6 +327,10 @@ def make_server(app: WebApp, host: str = "0.0.0.0", port: int = 8007
 def run_web_server(engine: Optional[SmartFaceEngine] = None,
                    host: str = "0.0.0.0", port: int = 8007) -> None:
     """Launcher (run_web_server.py:10-49 equivalent)."""
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
     engine = engine or SmartFaceEngine()
     app = WebApp(engine, comparison=FaceComparison(config=engine.config,
                                                    app=engine.app))

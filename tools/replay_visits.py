@@ -62,7 +62,10 @@ def main():
         SmartFaceEngine)
     from scrfd_arcface_facerecognition_tpu.apps.face_analysis import (
         FaceAnalysis)
+    from scrfd_arcface_facerecognition_tpu.utils.compile_cache import (
+        enable_compile_cache)
 
+    enable_compile_cache(_REPO_ROOT)
     app = FaceAnalysis(det_variant=args.det, rec_variant=args.rec)
     app.prepare(det_size=(640, 640))
     engine = SmartFaceEngine(database_path=os.path.join(workdir, "replay.db"),
