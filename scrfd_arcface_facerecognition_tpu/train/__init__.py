@@ -16,6 +16,7 @@ provides TPU-native trainers for each:
 
 from .arcface_train import (
     ArcFaceTrainer, TrainState, arcface_margin_logits, softmax_xent,
+    verification_metrics, evaluate_embedder,
 )
 from .scrfd_train import (
     SCRFDTrainer, SCRFDTrainState, SCRFDLossConfig, scrfd_loss, atss_assign,
@@ -27,6 +28,7 @@ from .detection_data import (
 )
 
 __all__ = ["ArcFaceTrainer", "TrainState", "arcface_margin_logits",
+           "verification_metrics", "evaluate_embedder",
            "softmax_xent", "SCRFDTrainer", "SCRFDTrainState",
            "SCRFDLossConfig", "scrfd_loss", "atss_assign", "diou_loss",
            "quality_focal_loss", "pairwise_iou", "synthetic_detection_batch",

@@ -179,3 +179,64 @@ class ArcFaceTrainer:
                               NamedSharding(self.mesh, P("data", None, None, None)),
                               data_sh))
         return self._jit_step(state, images, labels)
+
+
+# --------------------------------------------------------------------------
+# evaluation: pairwise verification metrics (LFW-style protocol)
+# --------------------------------------------------------------------------
+
+def verification_metrics(emb1, emb2, same, far_targets=(1e-2, 1e-3)):
+    """Face-verification quality of an embedder on labeled pairs.
+
+    emb1/emb2 (N, D) embeddings of pair halves; same (N,) bool. Returns
+    {accuracy, threshold, tar_at_far: {far: tar}} — accuracy is the best
+    cosine-threshold accuracy (the LFW protocol's sweep), TAR@FAR reads
+    the ROC at the requested false-accept rates.
+    """
+    e1 = np.asarray(emb1, np.float32)
+    e2 = np.asarray(emb2, np.float32)
+    e1 /= np.maximum(np.linalg.norm(e1, axis=1, keepdims=True), 1e-12)
+    e2 /= np.maximum(np.linalg.norm(e2, axis=1, keepdims=True), 1e-12)
+    sims = np.sum(e1 * e2, axis=1)
+    same = np.asarray(same, bool)
+
+    order = np.argsort(-sims)
+    s_sorted = sims[order]
+    y_sorted = same[order]
+    n_pos = max(int(same.sum()), 1)
+    n_neg = max(int((~same).sum()), 1)
+    tp = np.cumsum(y_sorted)
+    fp = np.cumsum(~y_sorted)
+    # accuracy at each cut: accept top-k
+    acc = (tp + (n_neg - fp)) / (n_pos + n_neg)
+    best = int(np.argmax(acc))
+    thr = float(s_sorted[best])
+    tar_at_far = {}
+    for far in far_targets:
+        k = np.searchsorted(fp / n_neg, far, side="right") - 1
+        tar_at_far[far] = float(tp[k] / n_pos) if k >= 0 else 0.0
+    return {"accuracy": float(acc[best]), "threshold": thr,
+            "tar_at_far": tar_at_far, "n_pairs": int(len(sims))}
+
+
+def evaluate_embedder(apply_fn, variables, pairs, batch: int = 64):
+    """Run (img1, img2, same) pairs through an embedder apply fn and score
+    with verification_metrics. pairs: iterable of (a, b, same) with images
+    already normalized (B, 112, 112, 3)-compatible."""
+    import jax.numpy as jnp
+
+    e1s, e2s, labels = [], [], []
+    buf_a, buf_b = [], []
+    for a, b, s in pairs:
+        buf_a.append(a)
+        buf_b.append(b)
+        labels.append(bool(s))
+        if len(buf_a) == batch:
+            e1s.append(np.asarray(apply_fn(variables, jnp.stack(buf_a))))
+            e2s.append(np.asarray(apply_fn(variables, jnp.stack(buf_b))))
+            buf_a, buf_b = [], []
+    if buf_a:
+        e1s.append(np.asarray(apply_fn(variables, jnp.stack(buf_a))))
+        e2s.append(np.asarray(apply_fn(variables, jnp.stack(buf_b))))
+    return verification_metrics(np.concatenate(e1s), np.concatenate(e2s),
+                                np.asarray(labels))

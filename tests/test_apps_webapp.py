@@ -256,3 +256,53 @@ def test_ui_has_api_fetch_form():
     assert "/api/process-visits-from-api" in INDEX_HTML
     for field in ("fstart", "fend", "fpage", "flimit"):
         assert field in INDEX_HTML
+
+
+def test_concurrent_requests_during_clustering(app):
+    """Race/stress coverage (SURVEY §5): GET endpoints hammered from many
+    threads WHILE clustering jobs run must never error or corrupt state —
+    the engine's lock serializes mutations, reads stay wait-free."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    server = make_server(app, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    ok_box = {"width": 90, "height": 120, "top": 300, "left": 300}
+    errors = []
+
+    def post_visits(start):
+        visits = []
+        for i in range(start, start + 4):
+            url = app._store.add(f"http://x/c{i}.jpg", identity=i)
+            visits.append(visit(i, url, box=ok_box))
+        req = urllib.request.Request(
+            base + "/api/process-visits",
+            data=json.dumps({"visits": visits, "save_images": False}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+
+    def hammer(_):
+        for path in ("/api/stats", "/api/person-groups", "/api/job-progress",
+                     "/api/low-similarity-images"):
+            try:
+                with urllib.request.urlopen(base + path, timeout=10) as r:
+                    json.loads(r.read())
+                    assert r.status == 200
+            except Exception as e:        # noqa: BLE001
+                errors.append((path, repr(e)))
+
+    try:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            jobs = [pool.submit(post_visits, s) for s in (30, 60, 90)]
+            reads = [pool.submit(hammer, i) for i in range(16)]
+            for fut in jobs + reads:
+                fut.result(timeout=60)
+    finally:
+        server.shutdown()
+    assert not errors, errors[:5]
+    # state consistent after the dust settles: 12 distinct identities
+    _, _, stats = app.dispatch("GET", "/api/stats")
+    assert stats["total_persons"] == 12
+    assert stats["total_visits"] == 12

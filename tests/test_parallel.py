@@ -139,3 +139,42 @@ def test_initialize_distributed_single_process_is_graceful():
 
     # no coordinator anywhere: must not raise, reports single-process
     assert initialize_distributed() is False
+
+
+def test_verification_metrics_separable_and_random():
+    """Known-geometry check: separable pairs -> accuracy 1.0 at a sensible
+    threshold; random pairs -> ~0.5."""
+    from scrfd_arcface_facerecognition_tpu.train import verification_metrics
+
+    rng = np.random.default_rng(0)
+    ids = rng.normal(size=(64, 128)).astype(np.float32)
+    e1 = ids + rng.normal(scale=0.05, size=ids.shape).astype(np.float32)
+    # positives: same identity; negatives: shuffled identities
+    e2_pos = ids + rng.normal(scale=0.05, size=ids.shape).astype(np.float32)
+    e2_neg = np.roll(ids, 1, axis=0)
+    emb1 = np.concatenate([e1, e1])
+    emb2 = np.concatenate([e2_pos, e2_neg])
+    same = np.concatenate([np.ones(64, bool), np.zeros(64, bool)])
+    m = verification_metrics(emb1, emb2, same)
+    assert m["accuracy"] > 0.99 and 0.2 < m["threshold"] < 1.0
+    assert m["tar_at_far"][1e-2] > 0.95
+
+    rnd = rng.normal(size=(128, 128)).astype(np.float32)
+    m2 = verification_metrics(rnd, rng.normal(size=(128, 128)).astype(np.float32),
+                              same)
+    assert 0.3 < m2["accuracy"] < 0.75
+
+
+def test_evaluate_embedder_batches():
+    from scrfd_arcface_facerecognition_tpu.train import evaluate_embedder
+
+    rng = np.random.default_rng(1)
+    flat = lambda v, x: np.asarray(x).reshape(x.shape[0], -1)[:, :32]
+    pairs = []
+    for i in range(10):
+        a = rng.normal(size=(4, 4, 2)).astype(np.float32)
+        b = a + rng.normal(scale=0.01, size=a.shape).astype(np.float32)
+        pairs.append((a, b, True))
+        pairs.append((a, rng.normal(size=a.shape).astype(np.float32), False))
+    m = evaluate_embedder(flat, None, pairs, batch=8)
+    assert m["n_pairs"] == 20 and m["accuracy"] > 0.9
