@@ -88,9 +88,15 @@ class WebApp:
         person["visits"] = self.engine.db.visits_for_person(person_id)
         return 200, None, person
 
+    # 1x1 grey PNG: the reference serves static/no-image.png for missing
+    # files (smart_face_recognition.py:3334-3360); self-contained here.
+    _NO_IMAGE_PNG = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNg"
+        b"uHHjPwAGhgJ/bM0TJAAAAABJRU5ErkJggg==")
+
     def image_file(self, path: str):
         if not os.path.exists(path):
-            return 404, None, {"error": "Image not found"}
+            return 200, "image/png", self._NO_IMAGE_PNG
         with open(path, "rb") as f:
             return 200, "image/jpeg", f.read()
 

@@ -118,7 +118,9 @@ def test_image_endpoints(app, tmp_path):
     status, _, payload = app.dispatch("GET", f"/api/image-base64/{img_path}")
     assert status == 200
     assert payload["image"].startswith("data:image/jpeg;base64,")
-    assert app.dispatch("GET", "/api/image/nonexistent.jpg")[0] == 404
+    # missing files serve the no-image placeholder (reference fallback)
+    status, ctype, _ = app.dispatch("GET", "/api/image/nonexistent.jpg")
+    assert status == 200 and ctype == "image/png"
 
 
 def test_clear_cache(app):
@@ -306,3 +308,16 @@ def test_concurrent_requests_during_clustering(app):
     _, _, stats = app.dispatch("GET", "/api/stats")
     assert stats["total_persons"] == 12
     assert stats["total_visits"] == 12
+
+
+def test_image_route_serves_no_image_fallback(app, tmp_path):
+    """Missing files serve the placeholder (reference FileResponse
+    fallback, smart_face_recognition.py:3334-3360), not a 404."""
+    status, ctype, data = app.dispatch("GET", "/api/image/nope/missing.jpg")
+    assert status == 200 and ctype == "image/png"
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    import cv2
+    p = str(tmp_path / "real.jpg")
+    cv2.imwrite(p, np.zeros((8, 8, 3), np.uint8))
+    status, ctype, data = app.dispatch("GET", f"/api/image/{p}")
+    assert status == 200 and ctype == "image/jpeg" and len(data) > 100
