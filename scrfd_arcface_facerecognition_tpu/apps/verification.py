@@ -68,6 +68,51 @@ class FaceComparison:
                 "confidence": float(sim),
                 "threshold_used": self.similarity_threshold, "error": None}
 
+    def _compare_batch(self, records: List[Dict]) -> List[Dict]:
+        """Batched comparison: concurrent downloads, ONE get_batch over
+        every present image (the reference runs app.get twice per record
+        sequentially, compare_face_from_api.py:204-205) — device work
+        scales with the batch, not the record count."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        urls = []
+        for r in records:
+            urls.extend((r["image1_url"], r["image2_url"]))
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            images = list(pool.map(self.image_loader, urls))
+
+        present = [i for i, im in enumerate(images) if im is not None]
+        face_lists: Dict[int, list] = {}
+        if present:
+            batch_faces = self.app.get_batch(
+                [self._to_rgb(images[i]) for i in present])
+            face_lists = dict(zip(present, batch_faces))
+
+        out = []
+        for ri, r in enumerate(records):
+            base = {"image1_url": r["image1_url"],
+                    "image2_url": r["image2_url"]}
+            i1, i2 = 2 * ri, 2 * ri + 1
+            if images[i1] is None or images[i2] is None:
+                out.append({**base, "same_person": False, "confidence": 0.0,
+                            "error": "Could not download one or both images"})
+                continue
+            f1 = face_lists.get(i1) or []
+            f2 = face_lists.get(i2) or []
+            if not f1 or not f2:
+                out.append({**base, "same_person": False, "confidence": 0.0,
+                            "error": "Could not detect faces in one or both "
+                                     "images"})
+                continue
+            sim = self.calculate_face_similarity(f1[0].embedding,
+                                                 f2[0].embedding)
+            out.append({**base,
+                        "same_person": sim > self.similarity_threshold,
+                        "confidence": float(sim),
+                        "threshold_used": self.similarity_threshold,
+                        "error": None})
+        return out
+
     def fetch_face_comparison_data_from_api(self, api_url: str,
                                             api_key: Optional[str] = None,
                                             **params) -> List[Dict]:
@@ -135,10 +180,10 @@ class FaceComparison:
         if max_comparisons and len(comparison_records) > max_comparisons:
             comparison_records = comparison_records[:max_comparisons]
 
+        comparisons = self._compare_batch(comparison_records)
+
         results, same_n, diff_n, err_n = [], 0, 0, 0
-        for record in comparison_records:
-            cmp = self.compare_face_images(record["image1_url"],
-                                           record["image2_url"])
+        for record, cmp in zip(comparison_records, comparisons):
             results.append({
                 "comparison_id": record["comparison_id"],
                 "event_id": record["event_id"],
