@@ -36,7 +36,8 @@ def main():
     enable_compile_cache(_REPO_ROOT)
 
     batch = int(os.environ.get("BENCH_BATCH", "96"))  # measured: 32 -> 517,
-    # 64 -> 588, 96 -> 631 fps; 128 overruns HBM with 8 batches in flight
+    # 64 -> 588, 96 -> 631 fps; 128 overruns HBM with the stream's
+    # batches in flight (12 by default)
     # (docs/PERF.md optimization log)
     rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "12"))

@@ -588,6 +588,11 @@ class SmartFaceEngine:
                   "isDeleted": "false"}
         if start_date:
             params["date"] = start_date
+        if end_date:
+            # the reference accepts end_date but silently drops it
+            # (smart_face_recognition.py:725 "single date parameter");
+            # we forward it so the UI's range filter actually filters
+            params["endDate"] = end_date
         if start_time:
             params["startTime"] = start_time
         if end_time:

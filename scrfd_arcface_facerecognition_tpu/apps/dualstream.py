@@ -115,12 +115,9 @@ def run(params) -> dict:
 
 
 def main(argv=None):
-    import os as _os
-
     from ..utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache(_os.path.dirname(_os.path.dirname(
-        _os.path.dirname(_os.path.abspath(__file__)))))
+    enable_compile_cache()
     return run(parse_args(argv))
 
 

@@ -20,6 +20,13 @@ from .. import ops
 from ..pipeline import Detector, Embedder
 
 
+def _next_pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 @dataclasses.dataclass
 class Face:
     bbox: np.ndarray            # (4,) x1y1x2y2
@@ -111,11 +118,9 @@ class FaceAnalysis:
             of two: arbitrary trailing-chunk sizes would each compile a
             fresh program (30-60 s on a remote-compiler TPU); power-of-2
             sizes bound the compile count at <=2x padded compute."""
-            n = len(idxs)
-            b = 1
-            while b < n:
-                b *= 2
-            batch = np.zeros((b, *images[idxs[0]].shape), np.uint8)
+            first = images[idxs[0]]
+            batch = np.zeros((_next_pow2(len(idxs)), *first.shape),
+                             first.dtype)
             for bi, i in enumerate(idxs):
                 batch[bi] = images[i]
             return jnp.asarray(batch)
@@ -141,9 +146,7 @@ class FaceAnalysis:
             step = max(1, min(self.chunk, 8))
             for c in range(0, len(idxs), step):
                 part = idxs[c:c + step]
-                b = 1
-                while b < len(part):   # pow-2 batch: bounded compile count
-                    b *= 2
+                b = _next_pow2(len(part))  # bounded compile count
                 frames = np.zeros((b, bh, bw, 3), np.uint8)
                 wys = np.zeros((b, model_hw[0], bh), np.float32)
                 wxs = np.zeros((b, model_hw[1], bw), np.float32)

@@ -68,11 +68,19 @@ class FaceComparison:
                 "confidence": float(sim),
                 "threshold_used": self.similarity_threshold, "error": None}
 
-    def _compare_batch(self, records: List[Dict]) -> List[Dict]:
-        """Batched comparison: concurrent downloads, ONE get_batch over
-        every present image (the reference runs app.get twice per record
-        sequentially, compare_face_from_api.py:204-205) — device work
-        scales with the batch, not the record count."""
+    def _compare_batch(self, records: List[Dict],
+                       wave: int = 64) -> List[Dict]:
+        """Batched comparison in bounded waves: concurrent downloads + one
+        get_batch per wave of `wave` records (the reference runs app.get
+        twice per record sequentially, compare_face_from_api.py:204-205).
+        Waves bound host memory: 2*wave decoded images resident, not 2*N.
+        """
+        out: List[Dict] = []
+        for c in range(0, len(records), wave):
+            out.extend(self._compare_wave(records[c:c + wave]))
+        return out
+
+    def _compare_wave(self, records: List[Dict]) -> List[Dict]:
         from concurrent.futures import ThreadPoolExecutor
 
         urls = []

@@ -335,8 +335,7 @@ def run_web_server(engine: Optional[SmartFaceEngine] = None,
     """Launcher (run_web_server.py:10-49 equivalent)."""
     from ..utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))))
+    enable_compile_cache()
     engine = engine or SmartFaceEngine()
     app = WebApp(engine, comparison=FaceComparison(config=engine.config,
                                                    app=engine.app))

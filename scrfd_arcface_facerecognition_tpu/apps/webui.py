@@ -215,7 +215,7 @@ function pollProgress(on) {
 async function processVisits() {
   try {
     const body = JSON.parse($('visitjson').value || '{}');
-    body.max_visits = parseInt($('maxvisits').value);
+    body.max_visits = parseInt($('maxvisits').value) || 500;
     body.save_images = $('saveimgs').checked;
     body.clear_existing = $('clearex').checked;
     status('Processing…');
@@ -248,7 +248,7 @@ async function fetchVisitsFromApi() {
       body: JSON.stringify({
         start_date: $('fstart').value || undefined,
         end_date: $('fend').value || undefined,
-        page: parseInt($('fpage').value), limit: parseInt($('flimit').value),
+        page: parseInt($('fpage').value) || 0, limit: parseInt($('flimit').value) || 100,
         clear_existing: $('fclear').checked})});
     $('fetchout').textContent = `fetched ${r.fetched} visits`;
     status('Done: ' + JSON.stringify(r.results));

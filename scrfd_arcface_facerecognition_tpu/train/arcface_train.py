@@ -200,23 +200,32 @@ def verification_metrics(emb1, emb2, same, far_targets=(1e-2, 1e-3)):
     sims = np.sum(e1 * e2, axis=1)
     same = np.asarray(same, bool)
 
+    n = len(sims)
+    if n == 0:
+        return {"accuracy": 0.0, "threshold": 0.0,
+                "tar_at_far": {far: 0.0 for far in far_targets}, "n_pairs": 0}
     order = np.argsort(-sims)
     s_sorted = sims[order]
     y_sorted = same[order]
-    n_pos = max(int(same.sum()), 1)
-    n_neg = max(int((~same).sum()), 1)
-    tp = np.cumsum(y_sorted)
-    fp = np.cumsum(~y_sorted)
-    # accuracy at each cut: accept top-k
-    acc = (tp + (n_neg - fp)) / (n_pos + n_neg)
+    n_pos = int(same.sum())
+    n_neg = n - n_pos
+    # cuts: accept top-k for k = 0..n (k=0 is the reject-all cut, optimal
+    # when every pair is negative)
+    tp = np.concatenate([[0], np.cumsum(y_sorted)])
+    fp = np.concatenate([[0], np.cumsum(~y_sorted)])
+    acc = (tp + (n_neg - fp)) / n
     best = int(np.argmax(acc))
-    thr = float(s_sorted[best])
+    # threshold sits just above the first rejected similarity
+    thr = float(s_sorted[best - 1]) if best > 0 else float(s_sorted[0] + 1e-6)
     tar_at_far = {}
     for far in far_targets:
-        k = np.searchsorted(fp / n_neg, far, side="right") - 1
-        tar_at_far[far] = float(tp[k] / n_pos) if k >= 0 else 0.0
+        if n_neg == 0:
+            tar_at_far[far] = float(tp[-1] / n_pos) if n_pos else 0.0
+            continue
+        k = int(np.searchsorted(fp / n_neg, far, side="right")) - 1
+        tar_at_far[far] = float(tp[k] / n_pos) if (k >= 0 and n_pos) else 0.0
     return {"accuracy": float(acc[best]), "threshold": thr,
-            "tar_at_far": tar_at_far, "n_pairs": int(len(sims))}
+            "tar_at_far": tar_at_far, "n_pairs": n}
 
 
 def evaluate_embedder(apply_fn, variables, pairs, batch: int = 64):
@@ -238,5 +247,8 @@ def evaluate_embedder(apply_fn, variables, pairs, batch: int = 64):
     if buf_a:
         e1s.append(np.asarray(apply_fn(variables, jnp.stack(buf_a))))
         e2s.append(np.asarray(apply_fn(variables, jnp.stack(buf_b))))
+    if not e1s:
+        return verification_metrics(np.zeros((0, 1)), np.zeros((0, 1)),
+                                    np.zeros((0,), bool))
     return verification_metrics(np.concatenate(e1s), np.concatenate(e2s),
                                 np.asarray(labels))

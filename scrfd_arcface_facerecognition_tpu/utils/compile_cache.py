@@ -7,10 +7,14 @@ from __future__ import annotations
 import os
 
 
-def enable_compile_cache(repo_root: str) -> None:
-    """Idempotent; a cache is an optimization, never a requirement."""
+def enable_compile_cache(repo_root: str = None) -> None:
+    """Idempotent; a cache is an optimization, never a requirement.
+    repo_root defaults to the repository containing this package."""
     import jax
 
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                os.path.join(repo_root, ".jax_cache"))
     try:

@@ -69,8 +69,10 @@ def pallas_conv3x3(x_planar, w3, scale=None, bias=None, relu=False,
     w3 (3, 3C, F) bf16, w3[dy] rows ordered (dx, c). Optional fused
     per-channel affine (scale, bias) + ReLU. Returns (B, F, H, Wp) bf16."""
     b, c, h, wp = x_planar.shape
+    if h % 8:
+        raise ValueError(f"height {h} must be a multiple of 8")
     f = w3.shape[2]
-    bot = (WIN - 8) + ((-h) % 8)   # window overrun past the last block
+    bot = WIN - 8                  # window overrun past the last block
     xpad = jnp.pad(x_planar, ((0, 0), (0, 0), (TOP - 1, 0), (0, 0)))
     xpad = jnp.pad(xpad, ((0, 0), (0, 0), (1, bot), (0, 0)))
     # plane row TOP + g = image row g; dx copies: lane w holds x[w + dx - 1]
