@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import logging
 import time
-from typing import Optional
 
 import cv2
 import numpy as np

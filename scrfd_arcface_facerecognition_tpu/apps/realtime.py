@@ -19,7 +19,7 @@ import argparse
 import logging
 import os
 import random
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import cv2
 import numpy as np

@@ -18,7 +18,7 @@ from typing import Any, Callable, Dict, List, Optional
 import cv2
 import numpy as np
 
-from ..utils.config import load_config, load_api_config
+from ..utils.config import load_config
 from .face_analysis import FaceAnalysis
 from .clustering import default_image_loader
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Tuple
 
-import numpy as np
 
 from .onnx_exec import OnnxModel, onnx_model
 

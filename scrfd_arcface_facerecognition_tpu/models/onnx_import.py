@@ -25,7 +25,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .onnx_proto import OnnxGraph, OnnxNode, load_onnx
+from .onnx_proto import OnnxGraph, load_onnx
 
 
 def conv_kernel_to_flax(w: np.ndarray) -> np.ndarray:

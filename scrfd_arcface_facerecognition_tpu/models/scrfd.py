@@ -20,7 +20,7 @@ variant are chosen to land near the released models' parameter budgets
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,6 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

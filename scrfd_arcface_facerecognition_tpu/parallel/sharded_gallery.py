@@ -14,7 +14,7 @@ all_gather moves Q*k*m scores, not the G-sized similarity row.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

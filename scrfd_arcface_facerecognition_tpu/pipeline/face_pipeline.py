@@ -8,7 +8,6 @@ between stages. Replaces the reference's per-frame ONNX sessions + numpy NMS
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax

@@ -8,7 +8,7 @@ host->device analog of the reference's download ThreadPool (SURVEY.md §2.3).
 from __future__ import annotations
 
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
