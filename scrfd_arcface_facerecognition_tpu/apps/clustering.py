@@ -212,7 +212,11 @@ class SmartFaceEngine:
                 if not any(filename.lower().endswith(e) for e in
                            (".jpg", ".jpeg", ".png", ".bmp")):
                     filename += ".jpg"
-                save_path = os.path.join(output_dir, filename)
+                # distinct URLs can share a basename (cdn/a/face.jpg vs
+                # cdn/b/face.jpg): prefix a short url-hash so concurrent
+                # saves never overwrite each other
+                tag = hashlib.md5(src.encode()).hexdigest()[:8]
+                save_path = os.path.join(output_dir, f"{tag}_{filename}")
             return self.image_loader(src, save_path=save_path), save_path
 
         if output_dir:
@@ -340,6 +344,23 @@ class SmartFaceEngine:
         images_dir = (os.path.join(output_folder, "downloaded_images")
                       if (output_folder and save_images) else None)
         self._set_progress("running", "download+embed", len(active), 0)
+        try:
+            return self._cluster_active(active, embeddings_dir=images_dir,
+                                        save_images=save_images,
+                                        grouping_threshold=grouping_threshold,
+                                        output_folder=output_folder,
+                                        results=results,
+                                        batch_groups=batch_groups)
+        except Exception:
+            # a batch-level failure (device OOM, DB error, ...) must not
+            # leave /api/job-progress wedged at "running"
+            self._set_progress("error", "failed", len(active), 0)
+            raise
+
+    def _cluster_active(self, active, *, embeddings_dir, save_images,
+                        grouping_threshold, output_folder, results,
+                        batch_groups):
+        images_dir = embeddings_dir
         embeddings = self.extract_batch_detail(
             [v.get("image") for _, v in active], save_image=save_images,
             output_dir=images_dir)
@@ -624,8 +645,10 @@ class SmartFaceEngine:
             image_url = None
             fr = visit.get("faceResponse")
             if fr and isinstance(fr, dict):
-                image_url = (fr.get("boxData", {}).get("imageUrl")
-                             or fr.get("faceResponse", {}).get("imageUrl")
+                # nested fields can be null / non-dict in real payloads —
+                # one bad record must not abort the whole fetch
+                image_url = ((fr.get("boxData") or {}).get("imageUrl")
+                             or (fr.get("faceResponse") or {}).get("imageUrl")
                              or fr.get("imageUrl") or fr.get("image"))
             else:
                 for key in ("imageUrl", "image", "faceImage", "face_image",
@@ -651,8 +674,9 @@ class SmartFaceEngine:
                                                         "Unknown")),
                 "branchId": visit.get("branchId", visit.get("branch_id",
                                                             "Unknown")),
-                "age": (fr or {}).get("age", {}).get("low") if fr else None,
-                "gender": (fr or {}).get("gender", {}).get("value")
+                "age": ((fr or {}).get("age") or {}).get("low")
+                       if fr else None,
+                "gender": ((fr or {}).get("gender") or {}).get("value")
                           if fr else None,
                 "similarity": visit.get("confidence",
                                         visit.get("similarity", 1.0)),

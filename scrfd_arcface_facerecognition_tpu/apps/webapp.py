@@ -50,12 +50,27 @@ class WebApp:
     def __init__(self, engine: SmartFaceEngine,
                  comparison: Optional[FaceComparison] = None,
                  api_config_path: str = "api_config.txt",
-                 results_dir: str = "."):
+                 results_dir: str = ".",
+                 allowed_image_dirs: Optional[list] = None):
         self.engine = engine
         self.comparison = comparison
         self.api_config_path = api_config_path
         self.results_dir = results_dir
+        # image routes serve only from these roots (path-traversal guard;
+        # the reference's FileResponse serves any path — fixed here)
+        self.allowed_image_dirs = [
+            os.path.realpath(d) for d in (
+                allowed_image_dirs
+                if allowed_image_dirs is not None
+                else [os.getcwd(), engine.image_cache_dir, results_dir])]
         self._lock = threading.Lock()
+
+    def _safe_image_path(self, path: str) -> Optional[str]:
+        real = os.path.realpath(path)
+        for base in self.allowed_image_dirs:
+            if real == base or real.startswith(base + os.sep):
+                return real
+        return None
 
     # -------------------------------------------------------------- GETs
 
@@ -65,9 +80,16 @@ class WebApp:
     def stats(self):
         return 200, None, self.engine.get_web_stats()
 
+    _SECRET_KEY_MARKERS = ("KEY", "TOKEN", "SECRET", "PASSWORD")
+
     def config(self):
         cfg = load_api_config(self.api_config_path)
-        return 200, None, {"config": cfg, "exists": bool(cfg)}
+        # never hand credentials to unauthenticated clients
+        redacted = {k: ("***" if any(m in k.upper()
+                                     for m in self._SECRET_KEY_MARKERS)
+                        and v else v)
+                    for k, v in cfg.items()}
+        return 200, None, {"config": redacted, "exists": bool(cfg)}
 
     def person_groups(self):
         return 200, None, {"groups": self.engine.get_person_groups_for_web()}
@@ -95,13 +117,15 @@ class WebApp:
         b"uHHjPwAGhgJ/bM0TJAAAAABJRU5ErkJggg==")
 
     def image_file(self, path: str):
-        if not os.path.exists(path):
+        safe = self._safe_image_path(path)
+        if safe is None or not os.path.exists(safe):
             return 200, "image/png", self._NO_IMAGE_PNG
-        with open(path, "rb") as f:
+        with open(safe, "rb") as f:
             return 200, "image/jpeg", f.read()
 
     def image_base64(self, path: str):
-        if not os.path.exists(path):
+        path = self._safe_image_path(path) or ""
+        if not path or not os.path.exists(path):
             return 404, None, {"error": "Image not found"}
         import cv2
 

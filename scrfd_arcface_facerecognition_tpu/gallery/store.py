@@ -242,6 +242,9 @@ class GalleryStore:
             path = os.path.join(directory, "base.bin")
             self.snapshot(path)
             manifest = {"base": "base.bin", "deltas": []}
+        elif not self._dirty_adds and not self._dirty_dels:
+            # nothing changed since the last snapshot: no empty delta
+            return os.path.join(directory, manifest["base"])
         else:
             seq = len(manifest["deltas"]) + 1
             name = f"delta_{seq:05d}.bin"

@@ -318,15 +318,24 @@ class OnnxModel:
                 nh, (traw, raw) = (a, (tb, b)) if ta == "nhwc" else (b, (ta, a))
                 rs = np.asarray(raw).shape if isinstance(raw, np.ndarray) \
                     else raw.shape
-                squeezed = tuple(d for d in rs if d != 1)
-                if len(squeezed) <= 1:
-                    c = nh.shape[-1]
+                c = nh.shape[-1]
+                scalar = all(d == 1 for d in rs) or rs == ()
+                # per-channel ONLY when the non-unit dim is the NCHW channel
+                # axis — an H/W-axis factor whose size happens to equal C
+                # must NOT be rebroadcast along channels
+                chan = ((len(rs) == 1 and rs[0] == c)
+                        or (len(rs) >= 2 and rs[1] == c
+                            and all(d == 1 for i, d in enumerate(rs)
+                                    if i != 1)))
+                if scalar or chan:
                     vec = jnp.asarray(raw, self.dtype).reshape(-1)
-                    vec = vec.reshape(1, 1, 1, -1) if vec.size in (c,) \
-                        else vec.reshape(())
+                    vec = (vec.reshape(()) if scalar
+                           else vec.reshape(1, 1, 1, -1))
                     args = (nh, vec) if ta == "nhwc" else (vec, nh)
                     env[out] = ("nhwc", fn(*args))
                 else:
+                    # general fallback: convert both to NCHW semantics —
+                    # always correct, just not layout-optimized
                     ra = self._get(env, ins[0], jnp)
                     rb = self._get(env, ins[1], jnp)
                     env[out] = ("raw", fn(ra, rb))
@@ -422,6 +431,15 @@ class OnnxModel:
             strides = _pair(attrs.get("strides"))
             hw_pads = _resolve_pads(attrs, xv.shape[1:3], kernel, strides,
                                     (1, 1))
+            if int(attrs.get("ceil_mode", 0)):
+                # legal only when ceil == floor for these shapes; computing
+                # the floor shape otherwise would silently break parity
+                for size, k, s, (p0, p1) in zip(xv.shape[1:3], kernel,
+                                                strides, hw_pads):
+                    if (int(size) + p0 + p1 - k) % s:
+                        raise UnsupportedOp(
+                            f"{op} ceil_mode=1 changes the output size "
+                            f"(in={size}, k={k}, s={s}, pads=({p0},{p1}))")
             padding = ((0, 0), hw_pads[0], hw_pads[1], (0, 0))
             if op == "MaxPool":
                 y = lax.reduce_window(
@@ -622,10 +640,14 @@ class OnnxModel:
                 ends = ins[2].reshape(-1)
                 axes = (ins[3].reshape(-1) if len(ins) > 3
                         and ins[3] is not None else np.arange(len(starts)))
+                steps = (ins[4].reshape(-1) if len(ins) > 4
+                         and ins[4] is not None
+                         else np.ones(len(starts), np.int64))
                 sl = [slice(None)] * ins[0].ndim
-                for st, en, ax in zip(starts, ends, axes):
-                    sl[int(ax)] = slice(int(st), int(en)
-                                        if abs(en) < 2**31 else None)
+                for st, en, ax, sp in zip(starts, ends, axes, steps):
+                    sl[int(ax)] = slice(
+                        int(st) if st > -2**31 else None,
+                        int(en) if abs(en) < 2**31 else None, int(sp))
                 return [ins[0][tuple(sl)]]
             if op == "Range":
                 return [np.arange(ins[0].reshape(()), ins[1].reshape(()),

@@ -221,6 +221,11 @@ class FacePipeline:
         self._gallery = ops.l2_normalize(jnp.asarray(buf))
         self._gallery_valid = jnp.asarray(valid)
         self.names = list(names)
+        # multi-device placements cache the gallery arrays — drop them so
+        # DP runs match against the NEW gallery, not a stale copy
+        for key in [k for k in self._jitted
+                    if isinstance(k, tuple) and k and k[0] == "placement"]:
+            del self._jitted[key]
 
     # ------------------------------------------------------------- forward
 

@@ -26,7 +26,8 @@ def app(tmp_path):
                                 image_loader=store.loader)
     webapp = WebApp(engine, comparison=comparison,
                     api_config_path=str(tmp_path / "api_config.txt"),
-                    results_dir=str(tmp_path))
+                    results_dir=str(tmp_path),
+                    allowed_image_dirs=[str(tmp_path)])
     webapp._store = store
     webapp._tmp = tmp_path
     return webapp
@@ -321,3 +322,29 @@ def test_image_route_serves_no_image_fallback(app, tmp_path):
     cv2.imwrite(p, np.zeros((8, 8, 3), np.uint8))
     status, ctype, data = app.dispatch("GET", f"/api/image/{p}")
     assert status == 200 and ctype == "image/jpeg" and len(data) > 100
+
+
+def test_image_routes_reject_path_traversal(app):
+    """/api/image and /api/image-base64 must never serve files outside the
+    allowed roots (arbitrary-file-read guard the reference lacks)."""
+    for path in ("/etc/passwd", "../../etc/passwd",
+                 "cache/../../../../etc/passwd"):
+        status, ctype, data = app.dispatch("GET", f"/api/image/{path}")
+        # placeholder, never file contents
+        assert ctype == "image/png", path
+        assert b"root:" not in (data if isinstance(data, bytes) else b"")
+        status, _, payload = app.dispatch("GET", f"/api/image-base64/{path}")
+        assert status == 404, path
+
+
+def test_config_endpoint_redacts_credentials(app, tmp_path):
+    (tmp_path / "api_config.txt").write_text(
+        "API_URL=https://api.example.com\nAPI_KEY=supersecret\n"
+        "AUTH_TOKEN=jwt-token-value\nSTART_DATE=2025-01-01\n")
+    status, _, payload = app.dispatch("GET", "/api/config")
+    assert status == 200
+    cfg = payload["config"]
+    assert cfg["API_URL"] == "https://api.example.com"
+    assert cfg["START_DATE"] == "2025-01-01"
+    assert "supersecret" not in str(payload)
+    assert "jwt-token-value" not in str(payload)

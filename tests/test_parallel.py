@@ -178,3 +178,28 @@ def test_evaluate_embedder_batches():
         pairs.append((a, rng.normal(size=a.shape).astype(np.float32), False))
     m = evaluate_embedder(flat, None, pairs, batch=8)
     assert m["n_pairs"] == 20 and m["accuracy"] > 0.9
+
+
+def test_set_gallery_invalidates_dp_placement_cache():
+    """set_gallery after a multi-device run must not leave stale gallery
+    copies in the placement cache (new identities would never match)."""
+    from scrfd_arcface_facerecognition_tpu.pipeline import FacePipeline
+
+    pipe = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
+                        conf_thres=0.0, pre_nms=16, max_det=2,
+                        gallery_capacity=8, seed=0)
+    rng = np.random.default_rng(0)
+    pipe.set_gallery(rng.normal(size=(2, 512)).astype(np.float32), ["a", "b"])
+    mesh = make_mesh()
+    frames = shard_frames(jnp.asarray(
+        rng.integers(0, 255, size=(8, 96, 96, 3), dtype=np.uint8)), mesh)
+    out1 = pipe(frames)
+    assert any(isinstance(k, tuple) and k and k[0] == "placement"
+               for k in pipe._jitted), "expected a cached placement"
+    new_g = rng.normal(size=(3, 512)).astype(np.float32)
+    pipe.set_gallery(new_g, ["a", "b", "c"])
+    assert not any(isinstance(k, tuple) and k and k[0] == "placement"
+                   for k in pipe._jitted)
+    out2 = pipe(frames)  # re-placement happens against the new gallery
+    # gallery row 2 is now valid: sims against it must be finite/considered
+    assert np.asarray(out2.match_sim).shape == np.asarray(out1.match_sim).shape
