@@ -181,8 +181,10 @@ ARCFACE_CONFIGS = {
     "w600k_r50": ArcFaceConfig(name="w600k_r50", arch="iresnet",
                                stage_blocks=(3, 4, 14, 3),
                                stage_filters=(64, 128, 256, 512)),
+    # blocks (1, 4, 6, 2) per the public insightface MobileFaceNet behind
+    # the released w600k_mbf weights (arcface_torch backbones/mobilefacenet)
     "w600k_mbf": ArcFaceConfig(name="w600k_mbf", arch="mobilefacenet",
-                               mbf_blocks=(1, 2, 4, 2), mbf_scale=2),
+                               mbf_blocks=(1, 4, 6, 2), mbf_scale=2),
 }
 
 

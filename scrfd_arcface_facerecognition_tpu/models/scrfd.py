@@ -87,11 +87,12 @@ class ResBlock(nn.Module):
 
 
 def s2d_input(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, 3) -> (B, H/2, W/2, 12); channel packing dy*6 + dx*3 + c."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
-    return x.reshape(b, h // 2, w // 2, 4 * c)
+    """(B, H, W, 3) -> (B, H/2, W/2, 12); channel packing dy*6 + dx*3 + c
+    (layers.s2d_pack — one definition keeps stem_kernel_to_s2d's channel
+    order assumption in one place)."""
+    from .layers import s2d_pack
+
+    return s2d_pack(x)
 
 
 def stem_kernel_to_s2d(w: "np.ndarray") -> "np.ndarray":

@@ -129,7 +129,12 @@ def prepare_warp_params(matrices: jnp.ndarray, frame_idx: jnp.ndarray,
     # canvas is floored at 512 wide (ops.tight_letterbox_plan min_hw).
     oy = jnp.zeros_like(src_h)
     padded_w = ((src_w + 127) // 128) * 128
-    ox = jnp.clip(((cxl - PW / 2).astype(jnp.int32) // 128) * 128, 0,
+    # round to the NEAREST 128 (not floor): flooring put the window-local
+    # center mx in [256, 384), so near-SIGMA_MAX crops at unlucky phases
+    # sampled past PW and silently zeroed their right edge; nearest keeps
+    # mx in [192, 320) and 320 + SIGMA_MAX*CQ = 497 < PW. Edge clamps only
+    # shift mx where out-of-window taps are true zero-border anyway.
+    ox = jnp.clip((((cxl - PW / 2 + 64) // 128).astype(jnp.int32)) * 128, 0,
                   jnp.maximum(padded_w - PW, 0))
     my = cyl
     mx = cxl - ox.astype(jnp.float32)

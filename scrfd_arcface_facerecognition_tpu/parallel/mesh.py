@@ -18,7 +18,9 @@ from jax.sharding import Mesh
 
 
 def local_device_count() -> int:
-    return len(jax.devices())
+    """Devices attached to THIS process (not the pod-wide count — callers
+    size per-host batches with this)."""
+    return jax.local_device_count()
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -85,7 +87,7 @@ def make_hybrid_mesh(ici_axis_sizes: Tuple[int, ...],
     the analog).
 
     make_hybrid_mesh((2, 4), ("data", "model"), num_slices=2)
-        -> Mesh(1? no: (2, 2, 4)) with axes ("replica", "data", "model").
+        -> a (2, 2, 4) mesh with axes ("replica", "data", "model").
     """
     devices = jax.devices()
     slice_ids = [getattr(d, "slice_index", None) for d in devices]

@@ -88,8 +88,11 @@ class ShardedGallery:
             static_argnames=("k",))
 
     def search(self, queries, k: int = 5) -> Tuple[np.ndarray, np.ndarray]:
-        """(Q, D) -> (Q, k) scores + global indices (numpy)."""
+        """(Q, D) -> (Q, k) scores + global indices (numpy).
+
+        k clamps to the REAL row count (padding rows are -inf-masked and
+        must never surface as result indices)."""
         q = l2_normalize(jnp.asarray(np.asarray(queries, np.float32)))
-        k_eff = min(k, self._emb.shape[0])
+        k_eff = max(1, min(k, self.size))
         scores, idx = self._search(q, self._emb, self._valid, k=k_eff)
         return np.asarray(scores), np.asarray(idx)

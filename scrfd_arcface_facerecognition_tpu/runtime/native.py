@@ -129,13 +129,21 @@ class FramePipe:
             if rc == -1:
                 return None
             raise TimeoutError("fp_pop timed out")
+        # poll in short slices so a closed-and-drained pipe returns None
+        # immediately instead of stalling the full timeout (the native
+        # fp_pop signals closure via its condition variable)
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_ms / 1000
         while True:
             try:
-                return self._pyq.get(timeout=timeout_ms / 1000)
+                return self._pyq.get(timeout=min(
+                    0.05, max(deadline - _time.monotonic(), 0.001)))
             except _queue.Empty:
                 if self._closed:
                     return None
-                raise TimeoutError("pop timed out")
+                if _time.monotonic() >= deadline:
+                    raise TimeoutError("pop timed out")
 
     def close(self) -> None:
         if self._q is not None:

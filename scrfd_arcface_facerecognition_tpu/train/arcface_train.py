@@ -67,6 +67,7 @@ class ArcFaceTrainer:
     def __post_init__(self):
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(5.0),
+            optax.add_decayed_weights(self.weight_decay),
             optax.sgd(self.learning_rate, momentum=0.9),
         )
         self._jit_step = None

@@ -80,12 +80,22 @@ def letterbox_example(image: np.ndarray, ann: Annotation,
     Returns (canvas, gt_boxes, gt_kps, gt_valid, gt_kps_valid): faces with
     unlabeled landmarks (Annotation.kps_valid False) keep box supervision
     but are masked out of the landmark loss (scrfd_loss gt_kps_valid).
+
+    The letterbox runs HOST-side (numpy matmuls with the same cv2-parity
+    interpolation matrices): datasets have thousands of distinct image
+    shapes, and a device letterbox would compile a program per shape
+    inside the input pipeline.
     """
+    from ..ops.resize import _interp_matrix
+
     h, w = image.shape[:2]
     plan = ops.letterbox_plan((h, w), input_size)
-    import jax.numpy as jnp
-
-    canvas = np.asarray(ops.letterbox(jnp.asarray(image), plan))
+    nh, nw = plan.new_hw
+    x = image.astype(np.float32)
+    x = np.einsum("oh,hwc->owc", _interp_matrix(nh, h), x)
+    x = np.einsum("pw,owc->opc", _interp_matrix(nw, w), x)
+    canvas = np.zeros((*input_size, image.shape[2]), np.float32)
+    canvas[:nh, :nw] = x
     s = plan.det_scale
     n = min(len(ann.boxes), max_gt)
     gt_boxes = np.zeros((max_gt, 4), np.float32)
@@ -104,10 +114,13 @@ def batches_from_annotations(anns: Sequence[Annotation], batch: int,
                              max_gt: int = 32, seed: int = 0,
                              image_loader=None,
                              normalize: bool = True) -> Iterator[Tuple]:
-    """Shuffled epochs of (images, gt_boxes, gt_kps, gt_valid) batches.
+    """ONE shuffled pass of (images, gt_boxes, gt_kps, gt_valid,
+    gt_kps_valid) batches (callers loop for epochs, reseeding the shuffle).
 
     images are SCRFD-normalized f32 by default ((x-127.5)/128, BGR->RGB —
     ops.normalize_image semantics) so batches feed SCRFDTrainer directly.
+    The final partial batch pads with empty images (gt_valid all-False) to
+    keep the jitted step's batch shape static without dropping tail data.
     """
     if image_loader is None:
         import cv2
@@ -116,6 +129,24 @@ def batches_from_annotations(anns: Sequence[Annotation], batch: int,
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(anns))
     bufs = ([], [], [], [], [])
+
+    def emit(bufs):
+        n = len(bufs[0])
+        while len(bufs[0]) < batch:   # pad tail: empty image, no gt
+            bufs[0].append(np.zeros_like(bufs[0][0]))
+            for b, proto in zip(bufs[1:], (np.zeros((max_gt, 4), np.float32),
+                                           np.zeros((max_gt, 5, 2),
+                                                    np.float32),
+                                           np.zeros((max_gt,), bool),
+                                           np.zeros((max_gt,), bool))):
+                b.append(proto)
+        images = np.stack(bufs[0])
+        if normalize:
+            # host-side normalize: same (x-127.5)/128 + BGR->RGB semantics
+            images = (images[..., ::-1] - 127.5) / 128.0
+        return (images.astype(np.float32),) + tuple(
+            np.stack(b) for b in bufs[1:])
+
     for idx in order:
         ann = anns[idx]
         img = image_loader(ann.path)
@@ -125,14 +156,10 @@ def batches_from_annotations(anns: Sequence[Annotation], batch: int,
                                                     max_gt)):
             buf.append(val)
         if len(bufs[0]) == batch:
-            images = np.stack(bufs[0])
-            if normalize:
-                import jax.numpy as jnp
-
-                images = np.asarray(ops.normalize_image(
-                    jnp.asarray(images), ops.SCRFD_MEAN, ops.SCRFD_STD))
-            yield (images,) + tuple(np.stack(b) for b in bufs[1:])
+            yield emit(bufs)
             bufs = ([], [], [], [], [])
+    if bufs[0]:
+        yield emit(bufs)
 
 
 # --------------------------------------------------------------------------

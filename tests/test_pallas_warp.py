@@ -232,3 +232,26 @@ def test_window_origin_always_128_aligned():
         src_w = np.where(np.asarray(params.iparams[:, 1]) == 0, fw, cw)
         padded = -(-src_w // 128) * 128
         assert (ox + pw.PW <= padded).all(), (fw, cw, ox, padded)
+
+
+def test_large_sigma_window_phase_coverage(frames):
+    """Crops near SIGMA_MAX at worst window-alignment phases must not
+    zero their right edge: the x-window origin rounds to the NEAREST 128
+    so mx + sigma*CQ always fits PW (the floored origin put mx in
+    [256, 384) and silently blacked out columns)."""
+    sigma = pw.SIGMA_MAX - 0.02
+    # sweep centers across a full 128 alignment period
+    specs = [(1.0 / sigma, 0.0, 300.0 + phase, 270.0)
+             for phase in range(0, 128, 16)]
+    m = _matrices(specs)
+    fidx = jnp.zeros((len(specs),), jnp.int32)
+    crops, params = _run(frames, m, fidx)
+    assert not np.asarray(params.fallback).any()
+    exact = np.asarray(_xla_reference(frames, m, fidx))
+    got = np.asarray(crops)
+    # right-edge columns must carry content, not a zero band
+    for i in range(len(specs)):
+        right_exact = exact[i, :, -8:, :].mean()
+        right_got = got[i, :, -8:, :].mean()
+        assert right_got > 0.25 * right_exact, (
+            i, right_got, right_exact)
