@@ -78,9 +78,13 @@ int gs_read_header(const char* path, int64_t* rows, int64_t* dim) {
     return ok ? 0 : -2;
 }
 
-// Reads payload into caller-allocated buffers; verifies CRC.
-// Returns 0 ok, -3 on CRC mismatch.
-int gs_read(const char* path, float* data_out, int64_t* ids_out) {
+// Reads payload into caller-allocated buffers sized for exactly
+// (expect_rows, expect_dim); verifies CRC. The caller learned the shape
+// from gs_read_header — a concurrent rewrite between the two calls must
+// fail cleanly (-4), never overflow the buffers.
+// Returns 0 ok, -3 on CRC mismatch, -4 on shape mismatch.
+int gs_read(const char* path, float* data_out, int64_t* ids_out,
+            int64_t expect_rows, int64_t expect_dim) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
     char magic[8];
@@ -94,8 +98,12 @@ int gs_read(const char* path, float* data_out, int64_t* ids_out) {
         crc = crc32_update(crc, static_cast<uint8_t*>(buf), len);
         return true;
     };
-    ok = ok && rd(&rows, sizeof(rows)) && rd(&dim, sizeof(dim))
-        && rd(ids_out, sizeof(int64_t) * static_cast<size_t>(rows))
+    ok = ok && rd(&rows, sizeof(rows)) && rd(&dim, sizeof(dim));
+    if (ok && (rows != expect_rows || dim != expect_dim)) {
+        std::fclose(f);
+        return -4;
+    }
+    ok = ok && rd(ids_out, sizeof(int64_t) * static_cast<size_t>(rows))
         && rd(data_out, sizeof(float) * static_cast<size_t>(rows * dim));
     uint32_t stored = 0;
     ok = ok && std::fread(&stored, 1, sizeof(stored), f) == sizeof(stored);

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import time
 
 import cv2
@@ -63,6 +64,10 @@ def run(params) -> dict:
         rec_variant=variant_from_path(params.rec_weight, "w600k_r50"),
         conf_thres=params.confidence_thresh,
         similarity_thresh=params.similarity_thresh,
+        det_onnx=(params.det_weight
+                  if os.path.exists(params.det_weight) else None),
+        rec_onnx=(params.rec_weight
+                  if os.path.exists(params.rec_weight) else None),
         dtype=jnp.bfloat16)
     import random
 

@@ -78,7 +78,10 @@ class FaceAnalysis:
         self.detector.input_size = (det_size[1], det_size[0])
         self.detector.conf_thres = det_thresh
         self.det_thresh = det_thresh
+        # all traffic here goes through the internal pipeline, whose jit
+        # cache baked the OLD threshold/canvas into its closures
         self.detector._jitted.clear()
+        self._pipe._jitted.clear()
 
     def get(self, image, max_num: int = 0) -> List[Face]:
         """Detect + align + embed every face in one BGR image."""
@@ -104,7 +107,11 @@ class FaceAnalysis:
 
         static_chunks, dyn_by_bucket = [], {}
         for shape, idxs in by_shape.items():
-            if len(idxs) >= self.MIN_STATIC_GROUP or len(by_shape) == 1:
+            # large same-shape groups (video) take the per-shape static
+            # program; everything else merges into padded buckets so a
+            # stream of one-off shapes compiles a handful of bucket
+            # programs, not one 30-60 s remote compile per shape
+            if len(idxs) >= self.MIN_STATIC_GROUP:
                 for c in range(0, len(idxs), self.chunk):
                     static_chunks.append(idxs[c:c + self.chunk])
             else:

@@ -18,7 +18,7 @@ from typing import Any, Dict, List, Optional
 def _avg_age(visits: List[Dict[str, Any]]) -> Optional[int]:
     ages = []
     for visit in visits:
-        for source in [visit] + list(visit.get("entryEventIds", [])):
+        for source in [visit] + list(visit.get("entryEventIds") or []):
             if "age" in source:
                 try:
                     ages.append(int(source["age"]))
@@ -30,7 +30,7 @@ def _avg_age(visits: List[Dict[str, Any]]) -> Optional[int]:
 def _common_gender(visits: List[Dict[str, Any]]) -> Optional[str]:
     genders = []
     for visit in visits:
-        for source in [visit] + list(visit.get("entryEventIds", [])):
+        for source in [visit] + list(visit.get("entryEventIds") or []):
             g = source.get("gender")
             if g and str(g).lower() in ("male", "female", "m", "f"):
                 genders.append(str(g).lower())

@@ -164,8 +164,15 @@ class MetadataDB:
                     entry_time: str, image_url: str,
                     saved_image_path: Optional[str], similarity: float) -> None:
         with self._conn() as conn:
+            # the reference schema (which the committed face_database.db
+            # must keep opening) has no UNIQUE constraint, so OR REPLACE
+            # could never fire — dedupe explicitly instead of accumulating
+            # duplicate rows on re-processed visits
             conn.execute(
-                "INSERT OR REPLACE INTO person_visits (person_id, visit_id,"
+                "DELETE FROM person_visits WHERE person_id = ? AND"
+                " visit_id = ?", (person_id, visit_id))
+            conn.execute(
+                "INSERT INTO person_visits (person_id, visit_id,"
                 " customer_id, entry_time, image_url, saved_image_path,"
                 " similarity) VALUES (?, ?, ?, ?, ?, ?, ?)",
                 (person_id, visit_id, customer_id, entry_time, image_url,

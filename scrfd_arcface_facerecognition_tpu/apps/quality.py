@@ -101,9 +101,9 @@ def analyze_bbox_for_side_face(bbox_data: Optional[Dict[str, float]],
         score += 1; reasons.append(f"Low compactness: {compactness:.2f}")
 
     cf = cfg["confidence_thresholds"]
-    if det_score and det_score < cf["very_low"]:
+    if det_score is not None and det_score < cf["very_low"]:
         score += 2; reasons.append(f"Very low confidence: {det_score:.3f}")
-    elif det_score and det_score < cf["low"]:
+    elif det_score is not None and det_score < cf["low"]:
         score += 1; reasons.append(f"Low confidence: {det_score:.3f}")
 
     edge = cfg["edge_position_threshold"]

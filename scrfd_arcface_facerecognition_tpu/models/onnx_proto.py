@@ -111,6 +111,7 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     float_data: List[float] = []
     int64_data: List[int] = []
     int32_data: List[int] = []
+    external = False
     for field, wire, val in iter_fields(buf):
         if field == 1:       # dims (repeated int64)
             if wire == 0:
@@ -129,7 +130,10 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
             if wire == 0:
                 int32_data.append(_zigzag_signed(val, 32))
             else:
-                int32_data.extend(_varints_packed(val))
+                # packed varints need the same signedness fixup as the
+                # unpacked branch (negative int32 rides as a 64-bit varint)
+                int32_data.extend(_zigzag_signed(v, 32)
+                                  for v in _varints_packed(val))
         elif field == 7:     # int64_data
             if wire == 0:
                 int64_data.append(_zigzag_signed(val))
@@ -139,8 +143,16 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
             name = val.decode()
         elif field == 9 and wire == 2:   # raw_data
             raw = val
+        elif field in (13, 14):          # external_data / data_location
+            external = True
     dtype = TENSOR_DTYPES.get(dtype_code, np.float32)
     shape = tuple(dims)
+    if external and raw is None and not (float_data or int64_data
+                                         or int32_data):
+        # silently decoding as zeros would corrupt every weight; fail loud
+        raise ValueError(
+            f"tensor {name!r} uses ONNX external data, which this "
+            "self-contained parser does not load")
     if raw is not None:
         arr = np.frombuffer(raw, dtype=dtype).reshape(shape).copy()
     elif float_data:

@@ -75,7 +75,8 @@ def _load():
                                    ctypes.POINTER(ctypes.c_int64)]
     lib.gs_read.restype = ctypes.c_int
     lib.gs_read.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
-                            ctypes.POINTER(ctypes.c_int64)]
+                            ctypes.POINTER(ctypes.c_int64),
+                            ctypes.c_int64, ctypes.c_int64]
     # unionfind
     lib.uf_groups.restype = ctypes.c_int64
     lib.uf_groups.argtypes = [ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
@@ -228,7 +229,11 @@ def snapshot_read(path: str) -> Tuple[np.ndarray, np.ndarray]:
         ids = np.empty(rows.value, np.int64)
         rc = lib.gs_read(path.encode(),
                          emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+                         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                         rows.value, dim.value)
+        if rc == -4:
+            raise IOError("snapshot changed between header and payload "
+                          "read (concurrent rewrite) — retry the load")
         if rc != 0:
             raise IOError(f"gs_read failed (corrupt snapshot?): {rc}")
         return emb, ids

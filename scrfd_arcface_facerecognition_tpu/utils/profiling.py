@@ -32,9 +32,9 @@ class StageTimer:
     """Accumulates wall time per named stage.
 
     >>> t = StageTimer()
-    >>> with t.stage("detect", sync_tree=det):
-    ...     det = detect_fn(...)
-    >>> t.report()
+    >>> with t.stage("detect") as s:
+    ...     s["result"] = detect_fn(...)   # synced on exit: device time,
+    >>> t.report()                         # not just dispatch time
     """
 
     def __init__(self):

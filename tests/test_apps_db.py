@@ -38,12 +38,17 @@ def test_person_visit_roundtrip(tmp_path):
 
 
 def test_store_visit_replaces_on_conflict(tmp_path):
-    # INSERT OR REPLACE semantics of the reference (:1664-1668)
+    # The reference writes INSERT OR REPLACE (:1664-1668) but its schema
+    # has no UNIQUE constraint, so the clause is dead and re-processed
+    # visits accumulate duplicate rows. We dedupe on (person_id, visit_id)
+    # explicitly — a documented deviation that makes re-runs idempotent.
     db = MetadataDB(str(tmp_path / "t.db"))
     pid = db.insert_person("a", None, 0.5, "h", QUALITY)
     db.store_visit(pid, "v1", "c", "t", "u", None, 0.5)
     db.store_visit(pid, "v1", "c", "t", "u", None, 0.7)
-    assert len(db.visits_for_person(pid)) == 2  # new id rows (same as ref)
+    visits = db.visits_for_person(pid)
+    assert len(visits) == 1
+    assert visits[0]["similarity"] == 0.7   # latest write wins
 
 
 def test_low_similarity_and_stats(tmp_path):

@@ -67,11 +67,19 @@ def test_bucketed_get_batch_matches_exact_shape(small_app):
     """Mixed-shape get_batch (dynamic bucket path) vs one-shape-at-a-time
     processing: same boxes, kps, and embedding cosine >= 1 - 1e-3 on real
     reference crops through the real model stack."""
+    import jax.numpy as jnp
+
     imgs = _fixtures(3)
     assert len(imgs) >= 2, "need heterogeneous fixtures"
 
-    # exact path: each image alone => single-shape group => static program
-    exact = [small_app.get_batch([im])[0] for im in imgs]
+    # exact baseline: per-image static program straight through the
+    # pipeline (get_batch routes small groups to the bucket path now)
+    exact = []
+    for im in imgs:
+        res = small_app._pipe(jnp.asarray(im[None]))
+        faces = []
+        small_app._scatter_faces(res, [0], out := [None])
+        exact.append(out[0])
     # bucketed path: mixed shapes in one call => dynamic bucket program
     mixed = small_app.get_batch(imgs)
 
