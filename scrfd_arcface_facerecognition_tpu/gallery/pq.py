@@ -165,11 +165,17 @@ class PQGallery:
     """
 
     def __init__(self, codec: PQCodec, capacity: int = 1 << 20,
-                 mesh: Optional[Mesh] = None, axis: str = "model"):
+                 mesh: Optional[Mesh] = None, axis: str = "model",
+                 keep_exact: bool = False):
         self.codec = codec
         self.capacity = capacity
         self.mesh = mesh
         self.axis = axis
+        # keep_exact retains full-precision embeddings in HOST memory
+        # (2 GB at 1M x 512 f32 — host RAM, not the HBM the codes solve)
+        # so search() can rerank the ADC shortlist exactly
+        self._exact = (np.zeros((capacity, codec.dim), np.float32)
+                       if keep_exact else None)
         if mesh is not None:
             m = mesh.shape[axis]
             capacity = -(-capacity // m) * m
@@ -189,7 +195,8 @@ class PQGallery:
 
     def add(self, ids, embeddings) -> None:
         ids = np.atleast_1d(np.asarray(ids, np.int64))
-        codes = self.codec.encode(np.atleast_2d(embeddings))
+        emb = np.atleast_2d(np.asarray(embeddings, np.float32))
+        codes = self.codec.encode(emb)
         n = len(ids)
         if n > len(self._free):
             raise ValueError(f"PQ gallery full ({self.capacity})")
@@ -198,6 +205,8 @@ class PQGallery:
         self._codes = self._codes.at[pos].set(codes)
         self._valid = self._valid.at[pos].set(True)
         self._ids[rows] = ids
+        if self._exact is not None:
+            self._exact[rows] = emb
 
     def delete(self, person_id: int) -> bool:
         rows = np.nonzero(self._ids == person_id)[0]
@@ -208,19 +217,36 @@ class PQGallery:
         self._free.extend(int(r) for r in rows)
         return True
 
-    def search(self, queries, k: int = 5) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, queries, k: int = 5,
+               rerank: int = 0) -> Tuple[np.ndarray, np.ndarray]:
         """(Q, dim) or (dim,) -> (scores (Q, k), ids (Q, k)); ids -1 where
-        fewer than k valid rows exist."""
+        fewer than k valid rows exist.
+
+        rerank > 0 (requires keep_exact=True): the ADC pass shortlists
+        max(k, rerank) candidates, then exact host-side inner products
+        re-order them — PQ recall at full-precision top-k accuracy for the
+        cost of a (Q, rerank) dot product."""
         q = np.atleast_2d(np.asarray(queries, np.float32))
+        k_fetch = max(k, rerank) if rerank else k
         if self.mesh is not None:
             s, i = sharded_pq_top_k(q, self.codec, self._codes, self._valid,
-                                    k, self.mesh, self.axis)
+                                    k_fetch, self.mesh, self.axis)
         else:
             lut = self.codec.lut(q)
             scores = adc_scores(lut, self._codes)
             scores = jnp.where(self._valid[None], scores, -jnp.inf)
-            s, i = jax.lax.top_k(scores, min(k, self.capacity))
+            s, i = jax.lax.top_k(scores, min(k_fetch, self.capacity))
         s = np.asarray(s)
         i = np.asarray(i)
+        if rerank:
+            if self._exact is None:
+                raise ValueError("rerank needs PQGallery(keep_exact=True)")
+            exact = np.einsum("qd,qrd->qr", q, self._exact[i])
+            exact = np.where(np.isfinite(s), exact, -np.inf)
+            order = np.argsort(-exact, axis=1)[:, :k]
+            s = np.take_along_axis(exact, order, axis=1)
+            i = np.take_along_axis(i, order, axis=1)
+        else:
+            s, i = s[:, :k], i[:, :k]
         ids = np.where(np.isfinite(s), self._ids[i], -1)
         return np.where(np.isfinite(s), s, 0.0), ids

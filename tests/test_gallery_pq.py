@@ -103,3 +103,34 @@ def test_pq_gallery_slot_reuse_under_churn(codec_and_corpus):
     g.add([999], corpus[:1])
     _, got = g.search(corpus[0], k=1)
     assert got[0, 0] == 999
+
+
+def test_exact_rerank_restores_full_precision_ranking(codec_and_corpus):
+    """keep_exact + rerank: results equal the dense full-precision top-k
+    even where raw ADC ranking differs."""
+    codec, ids, corpus = codec_and_corpus
+    g = PQGallery(codec, capacity=256, keep_exact=True)
+    g.add(np.arange(128), corpus[::16])
+    queries = corpus[3::16][:16]
+    s, got = g.search(queries, k=3, rerank=32)
+
+    gal = corpus[::16][:128]
+    sims = queries @ gal.T
+    want = np.argsort(-sims, axis=1)[:, :3]
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_allclose(
+        s, np.take_along_axis(sims, want, axis=1), rtol=1e-5)
+
+    # deleted rows must not resurface through the exact store
+    g.delete(int(want[0, 0]))
+    _, got2 = g.search(queries[:1], k=3, rerank=32)
+    assert want[0, 0] not in got2[0]
+
+    # rerank without keep_exact raises
+    g2 = PQGallery(codec, capacity=64)
+    g2.add([1], corpus[:1])
+    try:
+        g2.search(corpus[0], k=1, rerank=8)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
