@@ -126,6 +126,8 @@ def main():
                 with torch.no_grad():
                     ref = rec_t(torch.tensor(
                         blob.transpose(2, 0, 1)[None])).numpy()[0]
+                emb = np.asarray(emb).reshape(-1)
+                ref = np.asarray(ref).reshape(-1)
                 cos = float(np.dot(emb, ref) /
                             (np.linalg.norm(emb) * np.linalg.norm(ref)))
                 worst_cos = min(worst_cos, cos)
