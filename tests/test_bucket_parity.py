@@ -114,3 +114,29 @@ def test_clustering_ingest_uses_dynamic_bucketing(small_app):
     assert calls, "heterogeneous batch should use the dynamic bucket path"
     for shape in calls:
         assert shape[1] % 256 == 0 and shape[2] % 256 == 0
+
+
+def test_streamed_mixed_shape_chunks_keep_order(small_app):
+    """get_batch streams static chunks of DIFFERENT shapes through
+    process_stream: results must map 1:1 in submission order (a swap
+    would assign one image's faces to another)."""
+    import cv2
+
+    imgs = _fixtures(2)
+    a = cv2.resize(imgs[0], (256, 320))
+    b = cv2.resize(imgs[1], (320, 256))
+    # two single-shape groups of MIN_STATIC_GROUP images -> two static
+    # chunks with distinct shapes going through one stream
+    batch = [a] * small_app.MIN_STATIC_GROUP + [b] * small_app.MIN_STATIC_GROUP
+    res = small_app.get_batch(batch)
+    assert len(res) == len(batch)
+    # per-image results equal the single-group runs (order preserved)
+    res_a = small_app.get_batch([a] * small_app.MIN_STATIC_GROUP)
+    res_b = small_app.get_batch([b] * small_app.MIN_STATIC_GROUP)
+    for i in range(small_app.MIN_STATIC_GROUP):
+        assert len(res[i]) == len(res_a[i])
+        assert len(res[small_app.MIN_STATIC_GROUP + i]) == len(res_b[i])
+        for f1, f2 in zip(res[i], res_a[i]):
+            np.testing.assert_allclose(f1.bbox, f2.bbox, atol=1e-3)
+        for f1, f2 in zip(res[small_app.MIN_STATIC_GROUP + i], res_b[i]):
+            np.testing.assert_allclose(f1.bbox, f2.bbox, atol=1e-3)
