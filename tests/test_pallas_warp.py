@@ -255,3 +255,32 @@ def test_large_sigma_window_phase_coverage(frames):
         right_got = got[i, :, -8:, :].mean()
         assert right_got > 0.25 * right_exact, (
             i, right_got, right_exact)
+
+
+def test_envelope_fuzz_against_exact_warp(frames):
+    """Randomized in-envelope crops (scale x rotation x position sweep)
+    stay within the documented tolerance of the exact warp — a property
+    fuzz over the full parameter box, not just hand-picked cases."""
+    rng = np.random.default_rng(123)
+    specs = []
+    for _ in range(24):
+        sigma = rng.uniform(0.45, pw.SIGMA_MAX - 0.03)
+        ang = rng.uniform(-0.22, 0.22)          # inside PHI_MAX=0.24
+        cx = rng.uniform(120, 840)
+        cy = rng.uniform(100, 440)
+        specs.append((1.0 / sigma, ang, cx, cy))
+    m = _matrices(specs)
+    fidx = jnp.asarray(rng.integers(0, 2, size=len(specs)).astype(np.int32))
+    crops, params = _run(frames, m, fidx)
+    exact = np.asarray(_xla_reference(frames, m, fidx))
+    got = np.asarray(crops)
+    ok = ~np.asarray(params.fallback)
+    assert ok.sum() >= len(specs) - 2   # nearly all inside the envelope
+    for i in np.nonzero(ok)[0]:
+        d = np.abs(got[i] - exact[i])
+        # multi-pass resampling tolerance (documented: embedding cosine
+        # effect < 1e-4): mean error small on the 0-255 scale, peaks
+        # bounded — gross corruption (e.g. a zeroed edge band) shows up
+        # as means >> 10
+        assert d.mean() < 2.5, (i, specs[i], d.mean())
+        assert np.percentile(d, 99) < 16.0, (i, specs[i])
