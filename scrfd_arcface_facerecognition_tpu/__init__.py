@@ -12,15 +12,17 @@ re-identification stack (reference: Kumar2421/scrfd_arcface_facerecognition):
 - ``pipeline`` — the fused, single-jit detect→align→embed→match program over
                  batched HBM-resident frames.
 - ``gallery``  — TPU-resident embedding gallery (the Qdrant replacement):
-                 k-NN as one matmul + top-k, G×G duplicate detection.
+                 k-NN as one matmul + top-k, G×G duplicate detection,
+                 incremental CRC snapshots, product-quantized capacity tier.
 - ``parallel`` — device-mesh sharding: frame data-parallelism and gallery
                  sharding with ICI collectives.
-- ``train``    — ArcFace margin-softmax training with a class-sharded
-                 (partial-FC style) head; the framework's DP×TP train step.
+- ``train``    — ArcFace margin-softmax training (class-sharded partial-FC
+                 head, DP×TP) and SCRFD detector training (ATSS assignment,
+                 QFL/DIoU/landmark losses) with data + eval tooling.
 - ``apps``     — preserved user surfaces: real-time CLI, visit clustering
                  engine, verification flow, web API.
-- ``runtime``  — host-side runtime: C++ frame prefetch ring, gallery
-                 snapshot store, config system.
+- ``runtime``  — host-side runtime: C++ frame prefetch ring, C++ ffmpeg
+                 video decoder, gallery snapshot store, config system.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
