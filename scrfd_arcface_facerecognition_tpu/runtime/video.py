@@ -80,3 +80,73 @@ def open_capture(source):
 
     return cv2.VideoCapture(int(source) if isinstance(source, str)
                             and source.isdigit() else source)
+
+
+class MultiStreamReader:
+    """N cameras -> one batched device feed (the production serving model).
+
+    H.264 decode is CPU-bound at ~340 fps/stream/core (docs/PERF.md) while
+    the chip consumes 600+ fps: each source gets its own decode thread
+    pushing into a shared ring, and the consumer assembles
+    (n_streams, H, W, 3) batches — one frame per live stream, in stream
+    order — so every pipeline batch carries every camera. Streams that end
+    (or stall past `timeout_ms`) drop out; iteration stops when none
+    remain. Generalizes the reference's two-camera lockstep loop
+    (main2.py:78-101) to N sources.
+    """
+
+    def __init__(self, captures, timeout_ms: int = 10000):
+        import queue
+
+        self.captures = list(captures)
+        self.timeout_ms = timeout_ms
+        self._queues = [queue.Queue(maxsize=4) for _ in self.captures]
+        self._threads = []
+        for cap, q in zip(self.captures, self._queues):
+            t = threading.Thread(target=self._producer, args=(cap, q),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    @staticmethod
+    def _producer(cap, q):
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                q.put(None)
+                return
+            q.put(frame)
+
+    def __iter__(self):
+        import queue as _q
+
+        live = list(range(len(self.captures)))
+        while live:
+            frames, ids = [], []
+            still = []
+            for i in live:
+                try:
+                    f = self._queues[i].get(timeout=self.timeout_ms / 1000)
+                except _q.Empty:
+                    f = None     # stalled stream drops out
+                if f is None:
+                    continue
+                frames.append(f)
+                ids.append(i)
+                still.append(i)
+            live = still
+            if not frames:
+                return
+            h = max(f.shape[0] for f in frames)
+            w = max(f.shape[1] for f in frames)
+            batch = np.zeros((len(frames), h, w, 3), np.uint8)
+            for bi, f in enumerate(frames):
+                batch[bi, :f.shape[0], :f.shape[1]] = f
+            yield batch, ids
+
+    def release(self):
+        for cap in self.captures:
+            try:
+                cap.release()
+            except Exception:
+                pass

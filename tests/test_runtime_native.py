@@ -165,3 +165,34 @@ def test_open_capture_prefers_native_and_falls_back():
     # nonexistent file -> cv2 fallback object (unopened), no raise
     cap2 = open_capture("/nope/missing.mp4")
     assert not isinstance(cap2, NativeVideoReader)
+
+
+def test_multi_stream_reader_batches_all_live_streams(tmp_path):
+    """N synthetic videos of different lengths: every yielded batch carries
+    one frame per still-live stream in stream order; ended streams drop."""
+    import cv2
+    from scrfd_arcface_facerecognition_tpu.runtime.video import (
+        MultiStreamReader, open_capture)
+
+    paths = []
+    for si, n_frames in enumerate((6, 3)):
+        p = str(tmp_path / f"s{si}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (64, 48))
+        for f in range(n_frames):
+            frame = np.full((48, 64, 3), 10 * si + f, np.uint8)
+            wr.write(frame)
+        wr.release()
+        paths.append(p)
+
+    reader = MultiStreamReader([open_capture(p) for p in paths],
+                               timeout_ms=5000)
+    batches = list(reader)
+    reader.release()
+    # first 3 rounds: both streams; remaining: only stream 0
+    assert [ids for _, ids in batches[:3]] == [[0, 1]] * 3
+    assert all(ids == [0] for _, ids in batches[3:])
+    assert 4 <= len(batches) <= 6
+    for batch, ids in batches:
+        assert batch.shape[0] == len(ids)
+        assert batch.dtype == np.uint8
