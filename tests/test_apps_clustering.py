@@ -163,6 +163,9 @@ def test_add_person_hash_dedup_and_rollback(engine):
           "face_confidence": .9, "image_source": "u1"}
     assert engine.add_person("a", "u1", e1) > 0
     assert engine.add_person("b", "u2", dict(e1)) == -1  # duplicate hash
+    # the rejected add must leave NO stale vector or person row behind
+    assert engine.vector_db.get_embedding_count() == 1
+    assert engine.get_web_stats()["total_persons"] == 1
 
 
 def test_clear_all_data(engine):

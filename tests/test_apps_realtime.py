@@ -94,9 +94,6 @@ def test_run_end_to_end_headless(tmp_path, monkeypatch):
                 np.full((96, 96, 3), 100, np.uint8))
 
     stub = _StubPipeline()
-    monkeypatch.setattr(realtime, "FacePipeline",
-                        lambda **kw: stub, raising=False)
-    # realtime imports FacePipeline from ..pipeline inside module scope
     import scrfd_arcface_facerecognition_tpu.apps.realtime as rt
     monkeypatch.setattr("scrfd_arcface_facerecognition_tpu.apps.realtime."
                         "FacePipeline", lambda **kw: stub)

@@ -161,6 +161,7 @@ def test_live_http_server(app):
             assert e.code == 400
     finally:
         server.shutdown()
+        server.server_close()
 
 
 def test_process_visits_from_api_with_mock_server(app):
@@ -206,6 +207,7 @@ def test_process_visits_from_api_with_mock_server(app):
         assert res["results"]["new_persons"] == 2
     finally:
         server.shutdown()
+        server.server_close()
 
 
 def test_process_visits_from_api_requires_url(app):
@@ -304,6 +306,7 @@ def test_concurrent_requests_during_clustering(app):
                 fut.result(timeout=60)
     finally:
         server.shutdown()
+        server.server_close()
     assert not errors, errors[:5]
     # state consistent after the dust settles: 12 distinct identities
     _, _, stats = app.dispatch("GET", "/api/stats")

@@ -129,8 +129,5 @@ def test_exact_rerank_restores_full_precision_ranking(codec_and_corpus):
     # rerank without keep_exact raises
     g2 = PQGallery(codec, capacity=64)
     g2.add([1], corpus[:1])
-    try:
+    with pytest.raises(ValueError, match="keep_exact"):
         g2.search(corpus[0], k=1, rerank=8)
-        assert False, "expected ValueError"
-    except ValueError:
-        pass

@@ -58,7 +58,7 @@ def test_engine_extract_from_local_files(tmp_path):
     assert engine.extract_face_embedding(str(tmp_path / "missing.jpg")) is None
 
 
-def test_reference_clustering_results_schema_compat():
+def test_reference_clustering_results_schema_compat(tmp_path):
     """Our exporter's payload covers every key the committed results use."""
     ref_files = sorted(glob.glob(os.path.join(REF, "clustering_results",
                                               "*.json")))
@@ -68,7 +68,7 @@ def test_reference_clustering_results_schema_compat():
 
     from scrfd_arcface_facerecognition_tpu.apps.json_storage import (
         JSONStorageManager)
-    mgr = JSONStorageManager(output_dir="/tmp/safr_schema_test")
+    mgr = JSONStorageManager(output_dir=str(tmp_path))
     groups = [{"person_id": 1, "person_name": "P",
                "visits": [{"visit_id": 1, "customerId": "c",
                            "image": "http://x", "entryTime": "t",

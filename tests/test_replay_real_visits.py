@@ -15,9 +15,8 @@ REF = "/root/reference"
 @pytest.mark.skipif(not os.path.exists(os.path.join(REF, "visit-cluster.json")),
                     reason="reference sample not mounted")
 def test_replay_reference_visits(tmp_path, monkeypatch):
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    monkeypatch.syspath_prepend(
+        os.path.join(os.path.dirname(__file__), "..", "tools"))
     from replay_visits import cached_loader
     from scrfd_arcface_facerecognition_tpu.apps.clustering import (
         SmartFaceEngine)

@@ -29,10 +29,15 @@ def test_framepipe_threaded_ordering():
     pipe = FramePipe(slot_bytes=8, n_slots=4)  # small ring forces blocking
     n = 200
 
+    push_ok = []
+
     def producer():
-        for i in range(n):
-            assert pipe.push(i.to_bytes(8, "little"))
-        pipe.close()
+        try:
+            for i in range(n):
+                push_ok.append(pipe.push(i.to_bytes(8, "little")))
+        finally:
+            pipe.close()   # a failed push must not leave the consumer
+                           # stalled; the main thread asserts the results
 
     t = threading.Thread(target=producer)
     t.start()
@@ -43,6 +48,7 @@ def test_framepipe_threaded_ordering():
             break
         got.append(int.from_bytes(data, "little"))
     t.join()
+    assert push_ok == [True] * n
     assert got == list(range(n))
 
 
