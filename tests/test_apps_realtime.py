@@ -125,3 +125,33 @@ def test_dualstream_args_and_connect(tmp_path):
     with pytest.raises(RuntimeError):
         dualstream.connect_to_camera(str(tmp_path / "missing.mp4"),
                                      reconnect_delay=0.01, attempts=2)
+
+
+@pytest.mark.slow
+def test_multistream_cli(tmp_path, monkeypatch):
+    """N-camera CLI: two short synthetic videos through the stubbed
+    pipeline -> per-stream annotated outputs, frame accounting correct."""
+    import cv2
+    import scrfd_arcface_facerecognition_tpu.apps.multistream as ms
+
+    paths = []
+    for si, nf in enumerate((5, 3)):
+        p = str(tmp_path / f"cam{si}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (96, 96))
+        for _ in range(nf):
+            wr.write(np.full((96, 96, 3), 90, np.uint8))
+        wr.release()
+        paths.append(p)
+
+    # real (small) models end-to-end; weight files absent -> random init
+    monkeypatch.setattr(ms, "build_targets", lambda *a: [])
+    out_dir = str(tmp_path / "out")
+    res = ms.run(ms.parse_args([
+        "--sources", *paths, "--faces-dir", str(tmp_path),
+        "--det-weight", "det_500m.onnx", "--rec-weight", "w600k_mbf.onnx",
+        "--output-dir", out_dir]))
+    assert res["streams"] == 2
+    assert res["frames"] == 8          # 5 + 3 across both streams
+    import os as _os
+    assert sorted(_os.listdir(out_dir)) == ["stream_0.mp4", "stream_1.mp4"]
