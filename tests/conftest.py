@@ -54,5 +54,7 @@ _SLOW_FILES = {
 def pytest_collection_modifyitems(config, items):
     for item in items:
         name = os.path.basename(str(item.fspath))
-        item.add_marker(pytest.mark.slow if name in _SLOW_FILES
-                        else pytest.mark.quick)
+        if name in _SLOW_FILES or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
