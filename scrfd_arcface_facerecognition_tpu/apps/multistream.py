@@ -78,18 +78,30 @@ def run(params) -> dict:
                 os.makedirs(params.output_dir, exist_ok=True)
                 for bi, sid in enumerate(ids):
                     if sid not in writers:
-                        writers[sid] = cv2.VideoWriter(
+                        # size the writer from the stream's OWN capture dims,
+                        # not the batch's padded max: a shrinking batch (after
+                        # the largest stream ends) would make cv2.VideoWriter
+                        # silently drop every mismatched frame, and smaller
+                        # streams would bake the zero padding into their mp4s
+                        cap = reader.captures[sid]
+                        sw = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) \
+                            or batch.shape[2]
+                        sh = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) \
+                            or batch.shape[1]
+                        fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
+                        writers[sid] = (cv2.VideoWriter(
                             os.path.join(params.output_dir,
                                          f"stream_{sid}.mp4"),
-                            cv2.VideoWriter_fourcc(*"mp4v"), 24.0,
-                            (batch.shape[2], batch.shape[1]))
-                    writers[sid].write(batch[bi])
+                            cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                            (sw, sh)), sh, sw)
+                    w, sh, sw = writers[sid]
+                    w.write(batch[bi, :sh, :sw])
             n += len(ids)
             if params.max_frames and n >= params.max_frames:
                 break
     finally:
         reader.release()
-        for w in writers.values():
+        for w, _, _ in writers.values():
             w.release()
     return {"frames": n, "streams": len(params.sources),
             "targets": len(targets)}

@@ -189,18 +189,18 @@ class PQGallery:
                  mesh: Optional[Mesh] = None, axis: str = "model",
                  keep_exact: bool = False):
         self.codec = codec
-        self.capacity = capacity
         self.mesh = mesh
         self.axis = axis
-        # keep_exact retains full-precision embeddings in HOST memory
-        # (2 GB at 1M x 512 f32 — host RAM, not the HBM the codes solve)
-        # so search() can rerank the ADC shortlist exactly
-        self._exact = (np.zeros((capacity, codec.dim), np.float32)
-                       if keep_exact else None)
         if mesh is not None:
             m = mesh.shape[axis]
             capacity = -(-capacity // m) * m
-            self.capacity = capacity
+        self.capacity = capacity
+        # keep_exact retains full-precision embeddings in HOST memory
+        # (2 GB at 1M x 512 f32 — host RAM, not the HBM the codes solve)
+        # so search() can rerank the ADC shortlist exactly. Allocated at the
+        # final (mesh-rounded) capacity so every code row has an exact row.
+        self._exact = (np.zeros((capacity, codec.dim), np.float32)
+                       if keep_exact else None)
         self._codes = jnp.zeros((capacity, codec.m), jnp.uint8)
         self._valid = jnp.zeros((capacity,), bool)
         self._ids = np.full((capacity,), -1, np.int64)

@@ -25,6 +25,15 @@ import jax.numpy as jnp
 from ..ops import l2_normalize
 
 
+@jax.jit
+def _scatter_rows(emb, valid, pos, vals):
+    return emb.at[pos].set(vals), valid.at[pos].set(True)
+
+
+def _pad_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
 class SearchHit(NamedTuple):
     id: int
     score: float
@@ -39,6 +48,12 @@ class GalleryStore:
         self.vector_size = vector_size
         self.capacity = capacity
         self._emb = jnp.zeros((capacity, vector_size), jnp.float32)
+        # Host mirror of the normalized rows: every mutation originates
+        # host-side, so reads (snapshot, dense_matrix, get_embedding) never
+        # pay a device->host transfer — on remote-PJRT transports that
+        # readback is the single slowest op in the store (~3 MB/s measured
+        # through an axon tunnel vs ~0.2 s for the 200 MB upload).
+        self._host = np.zeros((capacity, vector_size), np.float32)
         self._valid = jnp.zeros((capacity,), bool)
         self._row_of: Dict[int, int] = {}       # external id -> row
         self._id_of: Dict[int, int] = {}        # row -> external id
@@ -59,14 +74,26 @@ class GalleryStore:
         sims = jnp.where(valid[None, :], sims, -jnp.inf)
         return jax.lax.top_k(sims, k)
 
-    def _grow(self) -> None:
+    def _grow(self, min_capacity: Optional[int] = None) -> None:
+        """Double capacity (to at least min_capacity) in ONE array rebuild.
+
+        Growth retriggers jit for the new static shape, so bulk paths pass
+        min_capacity to land on the final size in a single step instead of
+        log2(target) successive rebuilds; production deployments should
+        pre-size via the constructor's capacity argument and never hit this.
+        """
         new_cap = self.capacity * 2
+        while min_capacity is not None and new_cap < min_capacity:
+            new_cap *= 2
         emb = jnp.zeros((new_cap, self.vector_size), jnp.float32)
         emb = emb.at[: self.capacity].set(self._emb)
         valid = jnp.zeros((new_cap,), bool).at[: self.capacity].set(self._valid)
+        host = np.zeros((new_cap, self.vector_size), np.float32)
+        host[: self.capacity] = self._host
         self._free = list(range(new_cap - 1, self.capacity - 1, -1)) + self._free
         self.capacity = new_cap
         self._emb = emb
+        self._host = host
         self._valid = valid
 
     # ----------------------------------------------------------------- API
@@ -88,11 +115,83 @@ class GalleryStore:
         norm = np.linalg.norm(vec)
         vec = vec / max(norm, 1e-12)
         self._emb = self._emb.at[row].set(jnp.asarray(vec))
+        self._host[row] = vec
         self._valid = self._valid.at[row].set(True)
         self._payloads[person_id] = dict(payload or {})
         self._dirty_adds.add(person_id)
         self._dirty_dels.discard(person_id)
         return True
+
+    def add_batch(self, ids, embeddings,
+                  payloads: Optional[List[Dict[str, Any]]] = None) -> int:
+        """Bulk upsert: ONE device scatter for N rows.
+
+        Matches the reference's batched qdrant upsert surface
+        (qdrant_manager.py:91-137) and fixes the per-row dispatch cost of
+        calling add_embedding in a loop (1M dispatches to restore a 1M-row
+        gallery). Later duplicates of the same id win, mirroring sequential
+        add_embedding semantics. Returns the number of rows written.
+        """
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        mat = np.atleast_2d(np.asarray(embeddings, np.float32))
+        if mat.shape[0] != len(ids) or mat.shape[1] != self.vector_size:
+            return 0
+        if payloads is not None and len(payloads) != len(ids):
+            raise ValueError("payloads length must match ids")
+        # collapse duplicate ids (last write wins) before allocating rows
+        last = {int(pid): i for i, pid in enumerate(ids)}
+        order = sorted(last.values())
+        n_new = sum(1 for i in order if int(ids[i]) not in self._row_of)
+        if n_new > len(self._free):
+            self._grow(self.capacity + (n_new - len(self._free)))
+        rows = np.empty(len(order), np.int64)
+        for j, i in enumerate(order):
+            pid = int(ids[i])
+            row = self._row_of.get(pid)
+            if row is None:
+                row = self._free.pop()
+                self._row_of[pid] = row
+                self._id_of[row] = pid
+            rows[j] = row
+            self._payloads[pid] = dict(payloads[i]) if payloads else {}
+            self._dirty_adds.add(pid)
+            self._dirty_dels.discard(pid)
+        vecs = mat[order]
+        vecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        self._write_rows(rows, vecs)
+        return len(order)
+
+    def _write_rows(self, rows: np.ndarray, vecs: np.ndarray) -> None:
+        """Write N normalized rows in O(1) device ops.
+
+        An eager `.at[pos].set` traces + compiles a fresh scatter every call
+        (~16 s for 100k rows on a tunneled v5e); instead: sort into
+        contiguous runs and use dynamic_update_slice when there are few
+        (the restore path is ONE run), else one jitted scatter padded to a
+        pow-2 row count so repeat batch sizes reuse the compile cache.
+        """
+        order = np.argsort(rows, kind="stable")
+        rows = rows[order]
+        vecs = vecs[order]
+        self._host[rows] = vecs
+        n = len(rows)
+        run_starts = np.flatnonzero(
+            np.diff(rows, prepend=rows[0] - 2) != 1)
+        if len(run_starts) <= 8:
+            bounds = list(run_starts) + [n]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                self._emb = jax.lax.dynamic_update_slice(
+                    self._emb, jnp.asarray(vecs[a:b]), (int(rows[a]), 0))
+                self._valid = jax.lax.dynamic_update_slice(
+                    self._valid, jnp.ones(b - a, bool), (int(rows[a]),))
+        else:
+            pad = _pad_pow2(n)
+            # repeat the final row: writing the same data twice is benign
+            pos = np.concatenate([rows, np.full(pad - n, rows[-1])])
+            vals = np.concatenate([vecs, np.repeat(vecs[-1:], pad - n, 0)])
+            self._emb, self._valid = _scatter_rows(
+                self._emb, self._valid, jnp.asarray(pos), jnp.asarray(vals))
 
     def search_similar(self, query, k: int = 5,
                        threshold: Optional[float] = None) -> List[SearchHit]:
@@ -132,7 +231,7 @@ class GalleryStore:
         row = self._row_of.get(person_id)
         if row is None:
             return None
-        return np.asarray(self._emb[row])
+        return self._host[row].copy()
 
     def get_payload(self, person_id: int) -> Optional[Dict[str, Any]]:
         return self._payloads.get(person_id)
@@ -165,6 +264,7 @@ class GalleryStore:
         self._dirty_dels.update(self._row_of.keys())
         self._dirty_adds.clear()
         self._emb = jnp.zeros((self.capacity, self.vector_size), jnp.float32)
+        self._host[:] = 0.0
         self._valid = jnp.zeros((self.capacity,), bool)
         self._row_of.clear()
         self._id_of.clear()
@@ -181,8 +281,11 @@ class GalleryStore:
         ids = sorted(self._row_of.keys())
         if not ids:
             return np.zeros((0, self.vector_size), np.float32), []
-        rows = [self._row_of[i] for i in ids]
-        return np.asarray(self._emb[jnp.asarray(rows)]), ids
+        return self._read_rows([self._row_of[i] for i in ids]), ids
+
+    def _read_rows(self, rows) -> np.ndarray:
+        """Gather N rows from the host mirror — zero device traffic."""
+        return self._host[np.asarray(rows, np.int64)].copy()
 
     # ------------------------------------------------------- persistence
 
@@ -214,8 +317,9 @@ class GalleryStore:
         cap = capacity or max(1024, 2 * len(ids))
         store = cls(vector_size=int(vecs.shape[1]) if len(vecs) else 512,
                     capacity=cap)
-        for pid, vec in zip(ids, vecs):
-            store.add_embedding(int(pid), vec, payloads.get(str(int(pid)), {}))
+        if len(ids):
+            store.add_batch(ids, vecs,
+                            [payloads.get(str(int(p)), {}) for p in ids])
         return store
 
     # ------------------------------------------- incremental persistence
@@ -251,8 +355,7 @@ class GalleryStore:
             path = os.path.join(directory, name)
             adds = sorted(self._dirty_adds)
             if adds:
-                rows = [self._row_of[i] for i in adds]
-                mat = np.asarray(self._emb[jnp.asarray(rows)])
+                mat = self._read_rows([self._row_of[i] for i in adds])
             else:
                 mat = np.zeros((0, self.vector_size), np.float32)
             snapshot_write(path, mat, np.asarray(adds, np.int64))
@@ -289,9 +392,10 @@ class GalleryStore:
             if os.path.exists(path + ".meta.json"):
                 with open(path + ".meta.json") as f:
                     meta = json.load(f)
-            for pid, vec in zip(ids, vecs):
-                store.add_embedding(
-                    int(pid), vec, meta["payloads"].get(str(int(pid)), {}))
+            if len(ids):
+                store.add_batch(
+                    ids, vecs,
+                    [meta["payloads"].get(str(int(p)), {}) for p in ids])
             for pid in meta["deleted"]:
                 store.delete_embedding(int(pid))
         store._dirty_adds.clear()

@@ -114,31 +114,40 @@ class IResNet(nn.Module):
         return x.astype(jnp.float32)
 
 
-class MBFBottleneck(nn.Module):
-    """MobileFaceNet inverted-residual: 1x1 expand, 3x3 dw, 1x1 project."""
+class MBFDepthWise(nn.Module):
+    """MobileFaceNet unit: 1x1 expand -> 3x3 grouped dw -> 1x1 linear
+    project (+ residual). Mirrors the public insightface
+    arcface_torch/backbones/mobilefacenet.py `DepthWise`/`Residual` modules
+    behind the released w600k_mbf weights, so the ordered ONNX importer maps
+    the real file onto this structure weight-for-weight."""
     filters: int
-    stride: int
-    expansion: int
+    groups: int
+    stride: int = 1
+    residual: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        in_ch = x.shape[-1]
-        hidden = in_ch * self.expansion
-        out = ConvBN(hidden, (1, 1), padding=0, prelu=True,
+        out = ConvBN(self.groups, (1, 1), padding=0, prelu=True,
                      dtype=self.dtype, name="expand")(x, train=train)
-        out = ConvBN(hidden, (3, 3), strides=(self.stride, self.stride),
-                     padding=1, groups=hidden, prelu=True,
+        out = ConvBN(self.groups, (3, 3), strides=(self.stride, self.stride),
+                     padding=1, groups=self.groups, prelu=True,
                      dtype=self.dtype, name="dw")(out, train=train)
         out = ConvBN(self.filters, (1, 1), padding=0,
                      dtype=self.dtype, name="project")(out, train=train)
-        if self.stride == 1 and in_ch == self.filters:
+        if self.residual:
             out = out + x
         return out
 
 
 class MobileFaceNet(nn.Module):
-    """MobileFaceNet (w600k_mbf-style: width scale + GDC head, 512-d out)."""
+    """MobileFaceNet (w600k_mbf: blocks=(1,4,6,2), scale=2, GDC head).
+
+    Faithful to the public graph (arXiv:1804.07573 + insightface
+    arcface_torch `get_mbf`): grouped 3x3 stem-dw with groups=64 (NOT
+    64*scale), per-stage DepthWise downsample + residual stacks with
+    constant group widths (128/256/512), 1x1 conv_sep to 512, 7x7
+    global-depthwise (GDC), linear FC, feature BN."""
     config: ArcFaceConfig
     dtype: Any = jnp.float32
 
@@ -146,28 +155,33 @@ class MobileFaceNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
         s = cfg.mbf_scale
+        c64, c128 = 64 * s, 128 * s
         x = x.astype(self.dtype)
-        x = ConvBN(64 * s, (3, 3), strides=(2, 2), padding=1, prelu=True,
+        x = ConvBN(c64, (3, 3), strides=(2, 2), padding=1, prelu=True,
                    dtype=self.dtype, name="stem")(x, train=train)
-        x = ConvBN(64 * s, (3, 3), padding=1, groups=64 * s, prelu=True,
-                   dtype=self.dtype, name="stem_dw")(x, train=train)
-
-        # (expansion, out_ch, num_blocks, first_stride) per stage.
-        stages = [
-            (2, 64 * s, cfg.mbf_blocks[0], 2),
-            (4, 128 * s, cfg.mbf_blocks[1], 2),
-            (2, 128 * s, cfg.mbf_blocks[2], 1),
-            (4, 128 * s, cfg.mbf_blocks[3], 2),
-        ]
-        for si, (t, c, n, s0) in enumerate(stages):
+        if cfg.mbf_blocks[0] == 1:
+            x = ConvBN(c64, (3, 3), padding=1, groups=64, prelu=True,
+                       dtype=self.dtype, name="stem_dw")(x, train=train)
+        else:
+            for bi in range(cfg.mbf_blocks[0]):
+                x = MBFDepthWise(c64, 128, 1, residual=True,
+                                 dtype=self.dtype,
+                                 name=f"stage0_block{bi}")(x, train=train)
+        stages = [(c64, 128, cfg.mbf_blocks[1]),
+                  (c128, 256, cfg.mbf_blocks[2]),
+                  (c128, 512, cfg.mbf_blocks[3])]
+        prev_groups = {0: 128, 1: 256, 2: 512}
+        for si, (c, g_res, n) in enumerate(stages):
+            x = MBFDepthWise(c, prev_groups[si], 2, dtype=self.dtype,
+                             name=f"down{si}")(x, train=train)
+            res_groups = 128 if si == 0 else 256
             for bi in range(n):
-                stride = s0 if bi == 0 else 1
-                x = MBFBottleneck(c, stride, t, dtype=self.dtype,
-                                  name=f"stage{si}_block{bi}")(x, train=train)
-
+                x = MBFDepthWise(c, res_groups, 1, residual=True,
+                                 dtype=self.dtype,
+                                 name=f"stage{si + 1}_block{bi}")(x, train=train)
         x = ConvBN(512, (1, 1), padding=0, prelu=True,
-                   dtype=self.dtype, name="conv_head")(x, train=train)
-        # Global depthwise conv over the 7x7 map (GDC).
+                   dtype=self.dtype, name="conv_sep")(x, train=train)
+        # Global depthwise conv over the 7x7 map (GDC), linear.
         x = ConvBN(512, (7, 7), padding=0, groups=512,
                    dtype=self.dtype, name="gdc")(x, train=train)
         x = x.reshape(x.shape[0], -1)

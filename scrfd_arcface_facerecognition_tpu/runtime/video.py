@@ -100,6 +100,7 @@ class MultiStreamReader:
 
         self.captures = list(captures)
         self.timeout_ms = timeout_ms
+        self._stop = threading.Event()
         self._queues = [queue.Queue(maxsize=4) for _ in self.captures]
         self._threads = []
         for cap, q in zip(self.captures, self._queues):
@@ -108,14 +109,23 @@ class MultiStreamReader:
             t.start()
             self._threads.append(t)
 
-    @staticmethod
-    def _producer(cap, q):
-        while True:
+    def _producer(self, cap, q):
+        import queue as _q
+
+        while not self._stop.is_set():
             ok, frame = cap.read()
             if not ok:
-                q.put(None)
+                frame = None
+            # bounded put that re-checks stop, so release() can always
+            # unblock a producer stuck on a full queue
+            while not self._stop.is_set():
+                try:
+                    q.put(frame, timeout=0.1)
+                    break
+                except _q.Full:
+                    continue
+            if frame is None:
                 return
-            q.put(frame)
 
     def __iter__(self):
         import queue as _q
@@ -145,7 +155,27 @@ class MultiStreamReader:
             yield batch, ids
 
     def release(self):
-        for cap in self.captures:
+        # Producers may be inside cap.read() (for NativeVideoReader that is
+        # an in-flight vdec_read on the ffmpeg handle) — releasing the
+        # capture under them is a use-after-free. Signal stop, drain queues
+        # so blocked puts return, JOIN, then release.
+        self._stop.set()
+        import queue as _q
+        import time
+
+        deadline = time.monotonic() + self.timeout_ms / 1000
+        for t, q in zip(self._threads, self._queues):
+            while t.is_alive() and time.monotonic() < deadline:
+                try:
+                    q.get_nowait()
+                except _q.Empty:
+                    pass
+                t.join(timeout=0.05)
+        for cap, t in zip(self.captures, self._threads):
+            if t.is_alive():
+                # producer still inside cap.read() (stalled source) —
+                # leak the capture rather than free it under the reader
+                continue
             try:
                 cap.release()
             except Exception:

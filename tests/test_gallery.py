@@ -198,3 +198,50 @@ def test_incremental_snapshot_replays_clear(tmp_path):
     g.snapshot_incremental(d)
     r = GalleryStore.restore_dir(d)
     assert r.ids() == [2]
+
+
+def test_add_batch_matches_sequential_semantics():
+    """Bulk upsert == the same sequence of add_embedding calls (incl.
+    duplicate ids where the LAST write wins) and grows in one step."""
+    rng = np.random.default_rng(7)
+    a = GalleryStore(capacity=4)
+    b = GalleryStore(capacity=4)
+    vecs = _unit(rng, 12)
+    ids = [100, 101, 102, 100, 103, 104, 105, 106, 101, 107, 108, 109]
+    payloads = [{"n": i} for i in range(12)]
+    n = a.add_batch(ids, vecs, payloads)
+    for pid, v, p in zip(ids, vecs, payloads):
+        b.add_embedding(pid, v, p)
+    assert n == len(set(ids))
+    assert a.get_embedding_count() == b.get_embedding_count()
+    for pid in set(ids):
+        np.testing.assert_allclose(a.get_embedding(pid),
+                                   b.get_embedding(pid), atol=1e-6)
+        assert a.get_payload(pid) == b.get_payload(pid)
+    q = vecs[3]  # later duplicate of id 100 must win in both
+    assert a.search_similar(q, k=1)[0].id == 100
+    assert b.search_similar(q, k=1)[0].id == 100
+
+
+def test_add_batch_upsert_and_dirty_tracking(tmp_path):
+    rng = np.random.default_rng(8)
+    store = GalleryStore(capacity=8)
+    v = _unit(rng, 3)
+    store.add_batch([1, 2, 3], v)
+    d = tmp_path / "snaps"
+    store.snapshot_incremental(str(d))
+    v2 = _unit(rng, 2)
+    store.add_batch([2, 9], v2, [{"x": 1}, {"x": 2}])  # upsert 2, add 9
+    store.snapshot_incremental(str(d))
+    back = GalleryStore.restore_dir(str(d))
+    assert sorted(back.ids()) == [1, 2, 3, 9]
+    np.testing.assert_allclose(back.get_embedding(2), v2[0], atol=1e-6)
+    assert back.get_payload(9) == {"x": 2}
+
+
+def test_add_batch_rejects_bad_shapes():
+    store = GalleryStore(capacity=8)
+    assert store.add_batch([1, 2], np.zeros((2, 7), np.float32)) == 0
+    assert store.add_batch([1], np.zeros((2, 512), np.float32)) == 0
+    with pytest.raises(ValueError):
+        store.add_batch([1, 2], np.zeros((2, 512), np.float32), [{}])

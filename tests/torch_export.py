@@ -258,3 +258,95 @@ def seeded(model: nn.Module, seed: int = 0) -> nn.Module:
             elif name.endswith("running_mean"):
                 b.copy_(torch.randn(b.shape, generator=g) * 0.1)
     return model.eval()
+
+
+# ------------------------------------------------------- MobileFaceNet (mbf)
+
+class MBFConvBlock(nn.Sequential):
+    """Conv-BN-PReLU (the public MobileFaceNet unit; arXiv:1804.07573)."""
+
+    def __init__(self, cin, cout, k=1, s=1, p=0, groups=1):
+        super().__init__(
+            nn.Conv2d(cin, cout, k, s, p, groups=groups, bias=False),
+            nn.BatchNorm2d(cout), nn.PReLU(cout))
+
+
+class MBFLinearBlock(nn.Sequential):
+    """Conv-BN, no activation."""
+
+    def __init__(self, cin, cout, k=1, s=1, p=0, groups=1):
+        super().__init__(
+            nn.Conv2d(cin, cout, k, s, p, groups=groups, bias=False),
+            nn.BatchNorm2d(cout))
+
+
+class MBFDepthWise(nn.Module):
+    """1x1 expand -> 3x3 depthwise(groups) -> 1x1 project [+ residual]."""
+
+    def __init__(self, cin, cout, groups, stride=2, residual=False):
+        super().__init__()
+        self.residual = residual
+        self.layers = nn.Sequential(
+            MBFConvBlock(cin, groups, 1, 1, 0),
+            MBFConvBlock(groups, groups, 3, stride, 1, groups=groups),
+            MBFLinearBlock(groups, cout, 1, 1, 0))
+
+    def forward(self, x):
+        y = self.layers(x)
+        return x + y if self.residual else y
+
+
+class TorchMobileFaceNet(nn.Module):
+    """w600k_mbf stand-in: the public insightface MobileFaceNet
+    (blocks=(1,4,6,2), scale=2) with grouped/depthwise conv + PReLU idioms
+    and the GDC head; exports the exact ONNX op patterns the released file
+    uses (grouped Conv, PReLU with per-channel slopes, 7x7 depthwise)."""
+
+    def __init__(self, blocks=(1, 4, 6, 2), scale=2, emb=512):
+        super().__init__()
+        c64, c128 = 64 * scale, 128 * scale
+        layers = [MBFConvBlock(3, c64, 3, 2, 1)]
+        if blocks[0] == 1:
+            layers.append(MBFConvBlock(c64, c64, 3, 1, 1, groups=64))
+        else:
+            layers += [MBFDepthWise(c64, c64, 128, 1, residual=True)
+                       for _ in range(blocks[0])]
+        layers.append(MBFDepthWise(c64, c64, 128, 2))
+        layers += [MBFDepthWise(c64, c64, 128, 1, residual=True)
+                   for _ in range(blocks[1])]
+        layers.append(MBFDepthWise(c64, c128, 256, 2))
+        layers += [MBFDepthWise(c128, c128, 256, 1, residual=True)
+                   for _ in range(blocks[2])]
+        layers.append(MBFDepthWise(c128, c128, 512, 2))
+        layers += [MBFDepthWise(c128, c128, 256, 1, residual=True)
+                   for _ in range(blocks[3])]
+        self.body = nn.Sequential(*layers)
+        self.conv_sep = MBFConvBlock(c128, 512, 1, 1, 0)
+        self.gdc = MBFLinearBlock(512, 512, 7, 1, 0, groups=512)
+        self.fc = nn.Linear(512, emb, bias=False)
+        self.features = nn.BatchNorm1d(emb)
+
+    def forward(self, x):
+        x = self.conv_sep(self.body(x))
+        x = self.gdc(x)
+        x = torch.flatten(x, 1)
+        return self.features(self.fc(x))
+
+
+# --------------------------------------------- the five released-graph kin
+
+# Full-scale stand-in constructors for every released file (SURVEY.md §2.4):
+# torch graphs with the same op idioms + comparable parameter budgets,
+# exported to real ONNX bytes for executor/importer sign-off until the real
+# weights can be downloaded (tools/verify_release.py runs all five).
+STAND_INS = {
+    "det_500m": lambda: TorchSCRFD(stem=16, blocks=(3, 3, 2, 2),
+                                   planes=(16, 16, 40, 72), neck=24,
+                                   head_feat=96, head_stacks=3),
+    "det_2.5g": lambda: TorchSCRFD(stem=24, blocks=(3, 4, 2, 3),
+                                   planes=(24, 48, 48, 80), neck=24,
+                                   head_feat=64, head_stacks=2),
+    "det_10g": lambda: TorchSCRFD(),
+    "w600k_mbf": lambda: TorchMobileFaceNet(),
+    "w600k_r50": lambda: TorchIResNet(blocks=(3, 4, 14, 3)),
+}
