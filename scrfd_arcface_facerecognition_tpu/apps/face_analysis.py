@@ -47,7 +47,9 @@ class FaceAnalysis:
                  det_variant: str = "det_10g", rec_variant: str = "w600k_r50",
                  det_variables: Any = None, rec_variables: Any = None,
                  dtype: Any = None, seed: int = 0, max_det: int = 16,
-                 chunk: int = 16):
+                 chunk: int = 16, det_onnx: Optional[str] = None,
+                 rec_onnx: Optional[str] = None,
+                 pipeline_kwargs: Optional[dict] = None):
         if dtype is None:
             # bf16 compute on TPU (params stay f32), f32 elsewhere
             import jax
@@ -57,10 +59,14 @@ class FaceAnalysis:
         self.name = name
         self.chunk = chunk  # images per device batch (bounds HBM: the dense
         # embed path materializes batch*max_det 112x112 crops at once)
+        # det_onnx/rec_onnx: run released .onnx bytes through the graph
+        # executor — the analog of insightface loading the buffalo_l files
+        # (smart_face_recognition.py:353-359)
         self.detector = Detector(det_variant, variables=det_variables,
-                                 dtype=dtype, seed=seed, max_det=max_det)
+                                 dtype=dtype, seed=seed, max_det=max_det,
+                                 onnx_path=det_onnx)
         self.embedder = Embedder(rec_variant, variables=rec_variables,
-                                 dtype=dtype, seed=seed)
+                                 dtype=dtype, seed=seed, onnx_path=rec_onnx)
         self.det_thresh = 0.5
         # Internal pipeline reuse: the bucketed embed path (pallas warp on
         # TPU, real-face-count bucketing) — gallery stays empty, match
@@ -69,7 +75,8 @@ class FaceAnalysis:
 
         self._pipe = _pl.FacePipeline(detector=self.detector,
                                       embedder=self.embedder,
-                                      gallery_capacity=8, max_det=max_det)
+                                      gallery_capacity=8, max_det=max_det,
+                                      **(pipeline_kwargs or {}))
 
     def prepare(self, ctx_id: int = 0, det_size: Tuple[int, int] = (640, 640),
                 det_thresh: float = 0.5) -> None:

@@ -25,11 +25,76 @@ from .clustering import default_image_loader
 logger = logging.getLogger(__name__)
 
 
+def enable_comparison_log(path: str = "face_comparison.log") -> None:
+    """Attach the dedicated comparison log file the reference writes
+    (compare_face_from_api.py:58-61: FileHandler('face_comparison.log') +
+    stream handler on the module logger)."""
+    if any(isinstance(h, logging.FileHandler)
+           and getattr(h, "baseFilename", "").endswith(path)
+           for h in logger.handlers):
+        return
+    handler = logging.FileHandler(path, delay=True)
+    handler.setFormatter(logging.Formatter(
+        "%(asctime)s - %(levelname)s - %(message)s"))
+    logger.addHandler(handler)
+    logger.setLevel(logging.INFO)
+
+
+def build_comparison_results_json(results: Dict[str, Any]) -> Dict[str, Any]:
+    """The face_comparison_results_<ts>.json payload, field-for-field per
+    smart_face_recognition.py:3164-3232: metadata {generated_at,
+    total_comparisons, same_person, different_person, errors,
+    accuracy_vs_api} + comparisons [{fileName, event, camera, eventId,
+    approve, match_status, branch_id}] pulled from each comparison's
+    raw_data.entryEventIds[0] (eventId falls back to the comparison's own
+    event_id when no entry events exist and it is a string)."""
+    from datetime import datetime
+
+    payload = {
+        "metadata": {
+            "generated_at": datetime.now().isoformat(),
+            "total_comparisons": results.get("total_comparisons", 0),
+            "same_person": results.get("same_person", 0),
+            "different_person": results.get("different_person", 0),
+            "errors": results.get("errors", 0),
+            "accuracy_vs_api": results.get("accuracy_vs_api", 0),
+        },
+        "comparisons": [],
+    }
+    for comparison in results.get("results", []):
+        raw = comparison.get("raw_data", {}) or {}
+        events = raw.get("entryEventIds", []) or []
+        file_name = event = camera = event_id = ""
+        if events:
+            e0 = events[0]
+            file_name = e0.get("fileName", "")
+            event = e0.get("event", "")
+            camera = e0.get("camera", "")
+            event_id = e0.get("eventId", "")
+        else:
+            eid = comparison.get("event_id", "")
+            if isinstance(eid, str):
+                event_id = eid
+        payload["comparisons"].append({
+            "fileName": file_name,
+            "event": event,
+            "camera": camera,
+            "eventId": event_id,
+            "approve": comparison.get("api_approve", False),
+            "match_status": comparison.get("match_status", "UNKNOWN"),
+            "branch_id": comparison.get("branch_id", ""),
+        })
+    return payload
+
+
 class FaceComparison:
     def __init__(self, config_file: str = "config.json",
                  config: Optional[Dict[str, Any]] = None,
                  app: Optional[FaceAnalysis] = None,
-                 image_loader: Callable = default_image_loader):
+                 image_loader: Callable = default_image_loader,
+                 log_file: Optional[str] = "face_comparison.log"):
+        if log_file:
+            enable_comparison_log(log_file)
         self.config = config if config is not None else load_config(config_file)
         self.similarity_threshold = \
             self.config["face_comparison"]["similarity_threshold"]
@@ -219,10 +284,17 @@ class FaceComparison:
             else:
                 diff_n += 1
 
+        for r in results:
+            logger.info(
+                "Comparison %s: %s (confidence %.4f, api_approve=%s)",
+                r["comparison_id"], r["match_status"], r["confidence"],
+                r["api_approve"])
         api_matches = sum(1 for r in results if r.get("api_vs_our_match") is True)
         with_api = sum(1 for r in results
                        if r.get("api_vs_our_match") is not None)
         accuracy = (api_matches / with_api * 100) if with_api else 0
+        logger.info("Processed %d comparisons: %d same, %d different, "
+                    "%d errors", len(results), same_n, diff_n, err_n)
         return {"total_comparisons": len(comparison_records),
                 "processed": len(results), "same_person": same_n,
                 "different_person": diff_n, "errors": err_n,

@@ -36,6 +36,7 @@ from typing import Any, Dict, Optional
 from urllib.parse import urlparse
 
 from ..utils.config import load_api_config
+from .verification import build_comparison_results_json
 from .clustering import SmartFaceEngine
 from .verification import FaceComparison
 
@@ -222,30 +223,7 @@ class WebApp:
             records = self.comparison.transform_records(records)
         results = self.comparison.process_face_comparisons(
             records, max_comparisons=body.get("max_comparisons"))
-        # simplified result file (smart_face_recognition.py:3164-3232)
-        payload = {
-            "metadata": {
-                "timestamp": datetime.now().isoformat(),
-                "total_comparisons": results["total_comparisons"],
-                "accuracy_vs_api": results.get("accuracy_vs_api", 0),
-            },
-            "comparisons": [
-                {"fileName": r["raw_data"].get("entryEventIds", [{}])[0]
-                    .get("fileName", "") if r["raw_data"].get("entryEventIds")
-                    else "",
-                 "event": r["raw_data"].get("entryEventIds", [{}])[0]
-                    .get("event", "") if r["raw_data"].get("entryEventIds")
-                    else "",
-                 "camera": r["raw_data"].get("entryEventIds", [{}])[0]
-                    .get("camera", "") if r["raw_data"].get("entryEventIds")
-                    else "",
-                 "eventId": r.get("event_id"),
-                 "approve": r.get("api_approve"),
-                 "match_status": r.get("match_status"),
-                 "branch_id": r.get("branch_id")}
-                for r in results["results"]
-            ],
-        }
+        payload = build_comparison_results_json(results)
         fname = os.path.join(
             self.results_dir,
             f"face_comparison_results_"

@@ -150,7 +150,8 @@ async function renderTab() {
       const { groups } = await api('/api/person-groups');
       el.innerHTML = groups.length ? '<table><tr><th></th><th>id</th><th>name</th>' +
         '<th>visits</th><th>matches</th><th>quality</th><th>last seen</th></tr>' +
-        groups.map(g => `<tr><td><img class="thumb" data-path="${g.image_path ?? ''}" alt=""></td>` +
+        groups.map(g => `<tr class="person-row" onclick="showPerson(${g.person_id})" style="cursor:pointer">` +
+          `<td><img class="thumb" data-path="${g.image_path ?? ''}" alt=""></td>` +
           `<td>${g.person_id}</td><td>${g.name}` +
           `<div class="visit-strip">${(g.images ?? []).slice(0, 6).map(
              v => `<img data-path="${v.image_path ?? ''}" title="visit ${v.visit_id} (${((v.similarity ?? 0) * 100).toFixed(0)}%)" alt="">`
@@ -177,6 +178,39 @@ async function renderTab() {
         <br><button onclick="runComparisons()">Run comparisons</button>
         <div id="cmpout"></div>`;
     }
+  } catch (e) { el.innerHTML = 'Error: ' + e.message; }
+}
+
+// Person drill-down: click a row -> GET /api/person/{id} -> visit detail
+// (the reference UI's per-person fetch flow, templates/index.html:663-1797
+// served by smart_face_recognition.py:2989).
+async function showPerson(id) {
+  const el = $('tabbody');
+  el.innerHTML = 'Loading…';
+  try {
+    const p = await api('/api/person/' + id);
+    const visits = p.visits ?? [];
+    el.innerHTML =
+      `<div id="person-detail">` +
+      `<button onclick="renderTab()">&larr; Back to persons</button>` +
+      `<h3><img class="thumb" data-path="${p.image_path ?? ''}" alt=""> ` +
+      `${p.name} <small>(id ${p.id})</small></h3>` +
+      `<p>quality ${(p.face_quality ?? 0).toFixed(2)} · ` +
+      `matches ${p.match_count ?? 0} · created ${p.created_at ?? ''} · ` +
+      `last seen ${p.last_seen ?? ''}</p>` +
+      (visits.length ?
+        '<table><tr><th></th><th>visit</th><th>customer</th>' +
+        '<th>similarity %</th><th>entry time</th><th>source</th></tr>' +
+        visits.map(v =>
+          `<tr><td><img class="thumb" data-path="${v.saved_image_path ?? ''}" alt=""></td>` +
+          `<td>${v.visit_id}</td><td>${v.customer_id ?? ''}</td>` +
+          `<td>${((v.similarity ?? 0) * 100).toFixed(1)}</td>` +
+          `<td>${v.entry_time ?? ''}</td>` +
+          `<td>${v.image_url ? `<a href="${v.image_url}" target="_blank">url</a>` : ''}</td></tr>`
+        ).join('') + '</table>'
+        : '<p>No visits recorded.</p>') +
+      `</div>`;
+    loadThumbs(el);
   } catch (e) { el.innerHTML = 'Error: ' + e.message; }
 }
 

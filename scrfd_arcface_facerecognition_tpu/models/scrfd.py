@@ -112,15 +112,22 @@ def stem_kernel_to_s2d(w: "np.ndarray") -> "np.ndarray":
 
 
 class Backbone(nn.Module):
-    """4-stage residual backbone; returns C3 (s8), C4 (s16), C5 (s32)."""
+    """ResNetV1e backbone; returns C3 (s8), C4 (s16), C5 (s32).
+
+    Faithful to the mmdet ResNetV1e the released SCRFD graphs were trained
+    with (arXiv:2105.04714; the public scrfd configs): a DEEP STEM of three
+    3x3 convs (first stride 2) — or its space-to-depth equivalent — then a
+    3x3/2 maxpool, then 4 stages whose first blocks stride 2 except
+    stage 1 (already at stride 4 after the maxpool). Matching the real
+    structure keeps the ordered ONNX importer's module sequence aligned
+    with the released files' node order.
+    """
     config: SCRFDConfig
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         cfg = self.config
-        # Deep stem (ResNetV1e): two 3x3 convs, first with stride 2 —
-        # or its space-to-depth equivalent (2x2 conv over 12 channels).
         if cfg.s2d_stem:
             x = s2d_input(x)
             x = ConvBN(cfg.stem_filters // 2, (2, 2),
@@ -130,12 +137,16 @@ class Backbone(nn.Module):
             x = ConvBN(cfg.stem_filters // 2, (3, 3), strides=(2, 2),
                        padding=1, act=nn.relu, dtype=self.dtype,
                        name="stem1")(x, train=train)
-        x = ConvBN(cfg.stem_filters, (3, 3), padding=1, act=nn.relu,
+        x = ConvBN(cfg.stem_filters // 2, (3, 3), padding=1, act=nn.relu,
                    dtype=self.dtype, name="stem2")(x, train=train)
+        x = ConvBN(cfg.stem_filters, (3, 3), padding=1, act=nn.relu,
+                   dtype=self.dtype, name="stem3")(x, train=train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)])
         feats = []
         for si, (nblocks, filters) in enumerate(zip(cfg.stage_blocks, cfg.stage_filters)):
             for bi in range(nblocks):
-                stride = 2 if bi == 0 else 1
+                stride = 2 if (bi == 0 and si > 0) else 1
                 x = ResBlock(filters, stride, dtype=self.dtype,
                              name=f"stage{si + 1}_block{bi}")(x, train=train)
             if si >= 1:  # stages 2..4 sit at strides 8/16/32
@@ -151,7 +162,14 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class PAFPN(nn.Module):
-    """Path-aggregation FPN: top-down + bottom-up over 3 levels."""
+    """Path-aggregation FPN: top-down + bottom-up over 3 levels.
+
+    Faithful to mmdet's PAFPN as configured by the public scrfd models
+    (norm_cfg=None, act_cfg=None): every neck conv is a bare conv with
+    bias — NO normalization and NO activation. (ConvBN here still carries
+    a BN so the trainers can normalize; the ONNX importer loads released
+    graphs' bare convs as conv + exact identity-BN.)
+    """
     filters: int
     dtype: Any = jnp.float32
 
@@ -170,18 +188,18 @@ class PAFPN(nn.Module):
         for i in range(len(lats) - 2, -1, -1):
             td[i] = lats[i] + _upsample2x(td[i + 1])
         td = [
-            ConvBN(f, (3, 3), padding=1, act=nn.relu, dtype=self.dtype,
+            ConvBN(f, (3, 3), padding=1, dtype=self.dtype,
                    name=f"td_smooth{i}")(t, train=train)
             for i, t in enumerate(td)
         ]
         # Bottom-up augmentation.
         outs = [td[0]]
         for i in range(1, len(td)):
-            down = ConvBN(f, (3, 3), strides=(2, 2), padding=1, act=nn.relu,
+            down = ConvBN(f, (3, 3), strides=(2, 2), padding=1,
                           dtype=self.dtype, name=f"bu_down{i}")(outs[-1], train=train)
-            outs.append(ConvBN(f, (3, 3), padding=1, act=nn.relu,
+            outs.append(ConvBN(f, (3, 3), padding=1,
                                dtype=self.dtype, name=f"bu_smooth{i}")(down + td[i],
-                                                                       train=train))
+                                                                      train=train))
         return outs
 
 

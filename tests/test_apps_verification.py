@@ -94,3 +94,77 @@ def test_empty_records():
     fc, _ = _fc()
     out = fc.process_face_comparisons([])
     assert out["total_comparisons"] == 0 and out["results"] == []
+
+
+def test_comparison_results_json_schema():
+    """face_comparison_results_<ts>.json payload matches the reference
+    field-for-field (smart_face_recognition.py:3164-3232): metadata keys,
+    the per-comparison 7-field set, and the eventId fallback rules."""
+    from scrfd_arcface_facerecognition_tpu.apps.verification import (
+        build_comparison_results_json)
+
+    fc, store = _fc()
+    store.add("http://x/p1.jpg", 1, 0)
+    store.add("http://x/p2.jpg", 1, 1)
+    raw_with_events = {"entryEventIds": [{"fileName": "f.jpg",
+                                          "event": "entry", "camera": "c1",
+                                          "eventId": "ev-7"}]}
+    records = [
+        {"comparison_id": "c1", "event_id": "ev-7", "branch_id": "b1",
+         "created_at": "t", "customer_info": [], "matched_info": [],
+         "approve": True, "image1_url": "http://x/p1.jpg",
+         "image2_url": "http://x/p2.jpg", "raw_data": raw_with_events},
+        {"comparison_id": "c2", "event_id": "ev-str-fallback",
+         "branch_id": "b2", "created_at": "t", "customer_info": [],
+         "matched_info": [], "approve": False,
+         "image1_url": "http://x/p1.jpg", "image2_url": "http://x/p2.jpg",
+         "raw_data": {}},
+    ]
+    results = fc.process_face_comparisons(records)
+    payload = build_comparison_results_json(results)
+
+    assert set(payload) == {"metadata", "comparisons"}
+    assert set(payload["metadata"]) == {
+        "generated_at", "total_comparisons", "same_person",
+        "different_person", "errors", "accuracy_vs_api"}
+    assert payload["metadata"]["total_comparisons"] == 2
+    assert len(payload["comparisons"]) == 2
+    for c in payload["comparisons"]:
+        assert set(c) == {"fileName", "event", "camera", "eventId",
+                          "approve", "match_status", "branch_id"}
+    first, second = payload["comparisons"]
+    # entryEventIds[0] populates the event fields
+    assert first == {"fileName": "f.jpg", "event": "entry", "camera": "c1",
+                     "eventId": "ev-7", "approve": True,
+                     "match_status": "SAME", "branch_id": "b1"}
+    # no entry events: eventId falls back to the string event_id
+    assert second["eventId"] == "ev-str-fallback"
+    assert second["fileName"] == "" and second["camera"] == ""
+
+
+def test_comparison_log_file(tmp_path):
+    """The dedicated face_comparison.log handler writes comparison lines
+    (compare_face_from_api.py:58-61)."""
+    import logging as _logging
+    from scrfd_arcface_facerecognition_tpu.apps import verification as v
+
+    log_path = tmp_path / "face_comparison.log"
+    store = FakeImageStore()
+    store.add("http://x/p1.jpg", 1, 0)
+    store.add("http://x/p2.jpg", 1, 1)
+    fc = FaceComparison(config=DEFAULT_CONFIG, app=FakeFaceAnalysis(),
+                        image_loader=store.loader, log_file=str(log_path))
+    try:
+        fc.process_face_comparisons([
+            {"comparison_id": "c1", "event_id": None, "branch_id": None,
+             "created_at": None, "customer_info": [], "matched_info": [],
+             "approve": True, "image1_url": "http://x/p1.jpg",
+             "image2_url": "http://x/p2.jpg", "raw_data": {}}])
+        assert log_path.exists()
+        text = log_path.read_text()
+        assert "Comparison c1" in text and "Processed 1 comparisons" in text
+    finally:
+        for h in list(v.logger.handlers):
+            if isinstance(h, _logging.FileHandler):
+                v.logger.removeHandler(h)
+                h.close()

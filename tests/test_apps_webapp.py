@@ -351,3 +351,38 @@ def test_config_endpoint_redacts_credentials(app, tmp_path):
     assert cfg["START_DATE"] == "2025-01-01"
     assert "supersecret" not in str(payload)
     assert "jwt-token-value" not in str(payload)
+
+
+def test_ui_person_drilldown_contract(app):
+    """Clicking a person row opens the per-person visit detail (reference
+    flow: templates/index.html:663-1797 fetching /api/person/{id},
+    smart_face_recognition.py:2989). The UI must wire the click and render
+    every field the endpoint serves; the endpoint must serve the fields the
+    renderer consumes."""
+    from scrfd_arcface_facerecognition_tpu.apps.webui import INDEX_HTML
+
+    # UI wiring: rows call showPerson, which fetches the detail endpoint
+    persons_renderer = INDEX_HTML.split("activeTab === 'persons'")[1]
+    persons_renderer = persons_renderer.split("activeTab === 'lowsim'")[0]
+    assert "showPerson(" in persons_renderer
+    assert "'/api/person/' + id" in INDEX_HTML
+    detail = INDEX_HTML.split("async function showPerson")[1]
+    for field in ("visit_id", "customer_id", "similarity", "entry_time",
+                  "image_url", "saved_image_path", "face_quality",
+                  "match_count", "created_at", "last_seen"):
+        assert field in detail, field
+    assert "renderTab()" in detail          # back navigation
+
+    # endpoint data contract backs exactly those fields
+    _seed_visits(app, 2)
+    _, _, groups = app.dispatch("GET", "/api/person-groups")
+    pid = groups["groups"][0]["person_id"]
+    status, _, person = app.dispatch("GET", f"/api/person/{pid}")
+    assert status == 200
+    for key in ("id", "name", "image_path", "face_quality", "match_count",
+                "created_at", "last_seen", "visits"):
+        assert key in person, key
+    for v in person["visits"]:
+        for key in ("visit_id", "customer_id", "entry_time", "image_url",
+                    "saved_image_path", "similarity"):
+            assert key in v, key

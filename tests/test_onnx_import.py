@@ -153,7 +153,8 @@ def test_end_to_end_import_matches_onnx_semantics(tmp_path):
     model = TinyNet()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3)))
     imported = oi.import_into_variables(
-        jax.tree.map(np.asarray, dict(variables)), graph, fc_chw=(8, hw, hw))
+        jax.tree.map(np.asarray, dict(variables)), graph, fc_chw=(8, hw, hw),
+        module_order=oi.module_call_order(model, (1, hw, hw, 3)))
 
     x = rng.normal(size=(2, hw, hw, 3)).astype(np.float32)
     got = np.asarray(model.apply(imported, jnp.asarray(x)))
@@ -197,7 +198,8 @@ def test_fc_layout_inferred_from_graph(tmp_path):
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3)))
     imported = oi.import_into_variables(
         jax.tree.map(np.asarray, dict(variables)), graph,
-        input_shape=(1, hw, hw, 3))
+        input_shape=(1, hw, hw, 3),
+        module_order=oi.module_call_order(model, (1, hw, hw, 3)))
 
     x = rng.normal(size=(2, hw, hw, 3)).astype(np.float32)
     got = np.asarray(model.apply(imported, jnp.asarray(x)))

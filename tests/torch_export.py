@@ -80,8 +80,12 @@ class BasicBlockV1e(nn.Module):
             self.down = nn.Sequential(*down)
 
     def forward(self, x):
+        # main chain BEFORE the shortcut: mmdet's BasicBlock computes the
+        # residual branch first, so the traced node order (what the ordered
+        # importer zips against) matches the released files' graphs
+        out = self.conv2(self.conv1(x))
         identity = self.down(x) if self.down is not None else x
-        return F.relu(self.conv2(self.conv1(x)) + identity)
+        return F.relu(out + identity)
 
 
 class ResNetV1e(nn.Module):
@@ -214,8 +218,10 @@ class IBasicBlock(nn.Module):
                 nn.BatchNorm2d(cout))
 
     def forward(self, x):
-        identity = self.down(x) if self.down is not None else x
+        # residual branch first (arcface_torch iresnet.py computes the
+        # downsample after the main chain; node order must match its trace)
         y = self.bn3(self.conv2(self.prelu(self.bn2(self.conv1(self.bn1(x))))))
+        identity = self.down(x) if self.down is not None else x
         return y + identity
 
 
@@ -350,3 +356,23 @@ STAND_INS = {
     "w600k_mbf": lambda: TorchMobileFaceNet(),
     "w600k_r50": lambda: TorchIResNet(blocks=(3, 4, 14, 3)),
 }
+
+
+def calibrate_detector(model: TorchSCRFD) -> TorchSCRFD:
+    """Make a seeded stand-in emit PLAUSIBLE geometry.
+
+    seeded() randomizes every parameter, which leaves the FCOS per-level
+    scales ~N(0, 0.1): box distances collapse to sub-pixel sizes, NMS/IoU
+    and the max_num area metric then operate on degenerate near-tied boxes
+    and e2e comparisons stress tie-breaking instead of the pipeline. Set
+    the scales to distinct O(1) values and bias the box/kps branches so
+    decoded faces are tens of pixels with data-dependent variation — the
+    regime the real graphs produce."""
+    with torch.no_grad():
+        model.scales.copy_(torch.tensor([1.0, 1.15, 0.85]))
+        model.head.box.bias.fill_(3.0)     # ~3 stride-units per side
+        model.head.box.weight.mul_(3.0)    # data-driven size variation
+        model.head.kps.bias.copy_(
+            torch.linspace(-1.0, 1.0, model.head.kps.bias.numel()))
+        model.head.kps.weight.mul_(3.0)
+    return model

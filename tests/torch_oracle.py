@@ -98,37 +98,41 @@ def oracle_iresnet(variables, config, x_nhwc: np.ndarray) -> np.ndarray:
     return x.numpy()
 
 
+def _mbf_depthwise(x, bp, bs, groups, stride, residual):
+    out = t_convbn(x, bp["expand"], bs["expand"], padding=0)
+    out = t_convbn(out, bp["dw"], bs["dw"], stride=stride, padding=1,
+                   groups=groups)
+    out = t_convbn(out, bp["project"], bs["project"], padding=0)
+    return out + x if residual else out
+
+
 def oracle_mobilefacenet(variables, config, x_nhwc: np.ndarray) -> np.ndarray:
+    """Mirror of the faithful (arcface_torch) MobileFaceNet in models/
+    arcface.py: grouped stem-dw (groups=64), DepthWise downsamples with
+    group widths 128/256/512, residual stacks 128/256/256, conv_sep + GDC."""
     p = variables["params"]
     s = variables["batch_stats"]
     sc = config.mbf_scale
     x = torch.tensor(np.transpose(x_nhwc, (0, 3, 1, 2)), dtype=torch.float32)
 
     x = t_convbn(x, p["stem"], s["stem"], stride=2, padding=1)
-    x = t_convbn(x, p["stem_dw"], s["stem_dw"], padding=1, groups=64 * sc)
+    if config.mbf_blocks[0] == 1:
+        x = t_convbn(x, p["stem_dw"], s["stem_dw"], padding=1, groups=64)
+    else:
+        for bi in range(config.mbf_blocks[0]):
+            name = f"stage0_block{bi}"
+            x = _mbf_depthwise(x, p[name], s[name], 128, 1, True)
 
-    stages = [
-        (2, 64 * sc, config.mbf_blocks[0], 2),
-        (4, 128 * sc, config.mbf_blocks[1], 2),
-        (2, 128 * sc, config.mbf_blocks[2], 1),
-        (4, 128 * sc, config.mbf_blocks[3], 2),
-    ]
-    for si, (t, c, n, s0) in enumerate(stages):
+    down_groups = {0: 128, 1: 256, 2: 512}
+    for si, n in enumerate(config.mbf_blocks[1:]):
+        name = f"down{si}"
+        x = _mbf_depthwise(x, p[name], s[name], down_groups[si], 2, False)
+        res_groups = 128 if si == 0 else 256
         for bi in range(n):
-            stride = s0 if bi == 0 else 1
-            name = f"stage{si}_block{bi}"
-            bp, bs = p[name], s[name]
-            in_ch = x.shape[1]
-            hidden = in_ch * t
-            out = t_convbn(x, bp["expand"], bs["expand"], padding=0)
-            out = t_convbn(out, bp["dw"], bs["dw"], stride=stride, padding=1,
-                           groups=hidden)
-            out = t_convbn(out, bp["project"], bs["project"], padding=0)
-            if stride == 1 and in_ch == c:
-                out = out + x
-            x = out
+            name = f"stage{si + 1}_block{bi}"
+            x = _mbf_depthwise(x, p[name], s[name], res_groups, 1, True)
 
-    x = t_convbn(x, p["conv_head"], s["conv_head"], padding=0)
+    x = t_convbn(x, p["conv_sep"], s["conv_sep"], padding=0)
     x = t_convbn(x, p["gdc"], s["gdc"], padding=0, groups=512)
     x = _flatten_nhwc(x)
     x = x @ _t(p["fc"]["kernel"])
@@ -160,17 +164,21 @@ def oracle_scrfd(variables, config, x_nhwc: np.ndarray):
     x = torch.tensor(np.transpose(x_nhwc, (0, 3, 1, 2)), dtype=torch.float32)
 
     bp, bs = p["backbone"], s["backbone"]
+    # ResNetV1e deep stem (3 convs) + 3x3/2 maxpool; stage 1 stride 1
     x = t_convbn(x, bp["stem1"], bs["stem1"], stride=2, padding=1, act="relu")
     x = t_convbn(x, bp["stem2"], bs["stem2"], padding=1, act="relu")
+    x = t_convbn(x, bp["stem3"], bs["stem3"], padding=1, act="relu")
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
     feats = []
     for si, (nblocks, filters) in enumerate(zip(config.stage_blocks, config.stage_filters)):
         for bi in range(nblocks):
-            stride = 2 if bi == 0 else 1
+            stride = 2 if (bi == 0 and si > 0) else 1
             name = f"stage{si + 1}_block{bi}"
             x = _res_block(x, bp[name], bs[name], stride)
         if si >= 1:
             feats.append(x)
 
+    # mmdet-faithful PAFPN: bare convs, no activations
     np_, ns = p["neck"], s["neck"]
     lats = [t_convbn(f, np_[f"lateral{i}"], ns[f"lateral{i}"], padding=0)
             for i, f in enumerate(feats)]
@@ -178,14 +186,14 @@ def oracle_scrfd(variables, config, x_nhwc: np.ndarray):
     td[2] = lats[2]
     for i in (1, 0):
         td[i] = lats[i] + F.interpolate(td[i + 1], scale_factor=2, mode="nearest")
-    td = [t_convbn(t, np_[f"td_smooth{i}"], ns[f"td_smooth{i}"], padding=1, act="relu")
+    td = [t_convbn(t, np_[f"td_smooth{i}"], ns[f"td_smooth{i}"], padding=1)
           for i, t in enumerate(td)]
     outs = [td[0]]
     for i in (1, 2):
         down = t_convbn(outs[-1], np_[f"bu_down{i}"], ns[f"bu_down{i}"],
-                        stride=2, padding=1, act="relu")
+                        stride=2, padding=1)
         outs.append(t_convbn(down + td[i], np_[f"bu_smooth{i}"], ns[f"bu_smooth{i}"],
-                             padding=1, act="relu"))
+                             padding=1))
 
     hp = p["head"]
     scores, bboxes, kpss = [], [], []
