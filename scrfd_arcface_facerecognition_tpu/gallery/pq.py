@@ -37,6 +37,7 @@ from typing import Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -76,11 +77,14 @@ class PQCodec:
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         sub = dim // m
-        data = jnp.asarray(x.reshape(n, m, sub).transpose(1, 0, 2))  # (M,N,S)
+        data_np = x.reshape(n, m, sub).transpose(1, 0, 2)            # (M,N,S)
+        data = jnp.asarray(data_np)
         rng = np.random.default_rng(seed)
         k_eff = min(k, n)
         init_idx = rng.choice(n, size=k_eff, replace=False)
-        cent = data[:, jnp.asarray(init_idx), :]                     # (M,K,S)
+        # host-side init gather: an eager device fancy-gather compiles a
+        # fresh scatter/gather program (minutes through a remote compiler)
+        cent = jnp.asarray(data_np[:, init_idx, :])                  # (M,K,S)
         reseed = jnp.asarray(
             rng.choice(n, size=(iters, k_eff)).astype(np.int32))
 
@@ -149,6 +153,67 @@ def adc_scores(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def _adc_mxu_kernel(codes_ref, lut_ref, out_ref):
+    """One G-block of ADC as one-hot x LUT matmuls on the MXU.
+
+    codes_ref (M, Gb) int32; lut_ref (M, Q, K) f32; out_ref (Q, Gb) f32.
+    Per subspace m: onehot (K, Gb) = (iota_K == codes_m) in bf16, then
+    lut_m (Q, K) @ onehot -> (Q, Gb) accumulated in f32. The one-hot never
+    leaves VMEM — the table lookup the VPU gather formulation serializes
+    becomes dense MXU work instead.
+    """
+    import jax
+
+    m_total, q, k = lut_ref.shape
+    gb = codes_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, gb), 0)
+
+    def body(m, acc):
+        c = codes_ref[pl.ds(m, 1), :]                       # (1, Gb)
+        onehot = (row_ids == c).astype(jnp.bfloat16)        # (K, Gb)
+        lut_m = lut_ref[pl.ds(m, 1)].reshape(q, k).astype(jnp.bfloat16)
+        return acc + jax.lax.dot_general(
+            lut_m, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out_ref[:] = jax.lax.fori_loop(
+        0, m_total, body, jnp.zeros((q, gb), jnp.float32))
+
+
+def adc_scores_mxu(lut: jnp.ndarray, codes: jnp.ndarray,
+                   block_g: int = 4096,
+                   interpret: bool = False) -> jnp.ndarray:
+    """(Q, M, K) LUTs x (G, M) codes -> (Q, G), MXU formulation.
+
+    Equivalent to adc_scores but ~MXU-bound instead of gather-bound: the
+    scan-of-takes does VPU table lookups serially over subspaces (243 ms at
+    G=1M, Q=16 on v5e — docs/PERF.md), while score[q, g] =
+    sum_m lut[q, m, codes[g, m]] is exactly sum_m lut_m @ onehot(codes_m),
+    a chain of (Q, K) x (K, Gb) matmuls whose one-hot operand is built and
+    consumed entirely in VMEM.
+    """
+    q, m, k = lut.shape
+    g = codes.shape[0]
+    qp = -(-q // 8) * 8                    # sublane-align the thin Q dim
+    gp = -(-g // block_g) * block_g
+    lut_p = jnp.zeros((m, qp, k), jnp.float32).at[:, :q].set(
+        jnp.swapaxes(lut, 0, 1))
+    codes_t = jnp.zeros((m, gp), jnp.int32).at[:, :g].set(
+        codes.astype(jnp.int32).T)
+    out = pl.pallas_call(
+        _adc_mxu_kernel,
+        grid=(gp // block_g,),
+        in_specs=[
+            pl.BlockSpec((m, block_g), lambda i: (0, i)),
+            pl.BlockSpec((m, qp, k), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((qp, block_g), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((qp, gp), jnp.float32),
+        interpret=interpret,
+    )(codes_t, lut_p)
+    return out[:q, :g]
+
+
 def _local_pq_topk(lut, codes, valid, k: int, axis: str):
     scores = adc_scores(lut, codes)                          # (Q, G/m)
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
@@ -187,7 +252,14 @@ class PQGallery:
 
     def __init__(self, codec: PQCodec, capacity: int = 1 << 20,
                  mesh: Optional[Mesh] = None, axis: str = "model",
-                 keep_exact: bool = False):
+                 keep_exact: bool = False, adc_impl: str = "auto"):
+        # adc_impl: "mxu" (pallas one-hot matmul kernel, ~10x the scan on
+        # v5e), "scan" (gather formulation, any backend), "auto" = mxu on
+        # TPU. The sharded path stays on scan (runs inside shard_map on
+        # the virtual CPU mesh in tests).
+        if adc_impl == "auto":
+            adc_impl = "mxu" if jax.default_backend() == "tpu" else "scan"
+        self.adc_impl = adc_impl
         self.codec = codec
         self.mesh = mesh
         self.axis = axis
@@ -254,7 +326,12 @@ class PQGallery:
                                     k_fetch, self.mesh, self.axis)
         else:
             lut = self.codec.lut(q)
-            scores = adc_scores(lut, self._codes)
+            if self.adc_impl == "mxu":
+                scores = adc_scores_mxu(
+                    lut, self._codes,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                scores = adc_scores(lut, self._codes)
             scores = jnp.where(self._valid[None], scores, -jnp.inf)
             s, i = jax.lax.top_k(scores, min(k_fetch, self.capacity))
         s = np.asarray(s)

@@ -144,10 +144,15 @@ class OracleStack:
         canvas, _ = letterbox(image_bgr, self.input_size)
         return [np.asarray(o) for o in self.det_forward(det_blob(canvas))]
 
-    def detect(self, image_bgr: np.ndarray, max_num: int = 0,
-               metric: str = "max"):
-        """(det (N,5), kps (N,5,2)) in original-image coordinates,
-        replicating scrfd.py:122-178 exactly."""
+    def candidates(self, image_bgr: np.ndarray) -> np.ndarray:
+        """Score-sorted pre-NMS candidates (N, 5) in original coords —
+        exposes the NMS input so callers can probe the IoU distribution."""
+        det, _, _ = self._decode(image_bgr)
+        return det
+
+    def _decode(self, image_bgr: np.ndarray):
+        """Score-sorted pre-NMS (det (N,5), kps (N,5,2)) in original
+        coordinates (scrfd.py:122-156 before the NMS call)."""
         height, width = self.input_size
         canvas, det_scale = letterbox(image_bgr, self.input_size)
         outputs = [np.asarray(o) for o in self.det_forward(det_blob(canvas))]
@@ -176,9 +181,16 @@ class OracleStack:
         kpss = np.vstack(kpss_list) / det_scale
         pre_det = np.hstack(
             [bboxes, scores[:, None]]).astype(np.float32)[order]
+        return pre_det, kpss[order], det_scale
+
+    def detect(self, image_bgr: np.ndarray, max_num: int = 0,
+               metric: str = "max"):
+        """(det (N,5), kps (N,5,2)) in original-image coordinates,
+        replicating scrfd.py:122-178 exactly."""
+        pre_det, kpss, _ = self._decode(image_bgr)
         keep = greedy_nms(pre_det, self.iou_thres)
         det = pre_det[keep]
-        kpss = kpss[order][keep]
+        kpss = kpss[keep]
 
         if 0 < max_num < det.shape[0]:
             area = (det[:, 2] - det[:, 0]) * (det[:, 3] - det[:, 1])

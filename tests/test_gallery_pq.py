@@ -131,3 +131,41 @@ def test_exact_rerank_restores_full_precision_ranking(codec_and_corpus):
     g2.add([1], corpus[:1])
     with pytest.raises(ValueError, match="keep_exact"):
         g2.search(corpus[0], k=1, rerank=8)
+
+
+def test_adc_mxu_matches_scan():
+    """The MXU one-hot-matmul ADC (pallas) == the gather-scan formulation
+    (bf16 LUT quantization bounds the difference; PQ codebook error
+    dominates both)."""
+    from scrfd_arcface_facerecognition_tpu.gallery.pq import (
+        PQCodec, adc_scores, adc_scores_mxu)
+
+    rng = np.random.default_rng(3)
+    codec = PQCodec(centroids=jnp.asarray(
+        rng.normal(size=(8, 16, 4)).astype(np.float32)))
+    codes = jnp.asarray(rng.integers(0, 16, (500, 8), dtype=np.uint8))
+    lut = codec.lut(rng.normal(size=(3, 32)).astype(np.float32))
+    a = np.asarray(adc_scores(lut, codes))
+    b = np.asarray(adc_scores_mxu(lut, codes, block_g=128, interpret=True))
+    assert a.shape == b.shape == (3, 500)
+    scale = max(float(np.abs(a).max()), 1e-6)
+    assert float(np.abs(a - b).max()) / scale < 5e-3
+
+
+def test_pq_gallery_mxu_search_matches_scan():
+    from scrfd_arcface_facerecognition_tpu.gallery.pq import PQCodec, PQGallery
+
+    rng = np.random.default_rng(4)
+    corpus = rng.normal(size=(2048, 64)).astype(np.float32)
+    codec = PQCodec.train(corpus, m=8, k=32, iters=3)
+    ids = np.arange(300)
+    vecs = corpus[:300]
+    a = PQGallery(codec, capacity=512, adc_impl="scan")
+    b = PQGallery(codec, capacity=512, adc_impl="mxu")  # interpret on CPU
+    a.add(ids, vecs)
+    b.add(ids, vecs)
+    q = vecs[7:9]
+    sa, ia = a.search(q, k=5)
+    sb, ib = b.search(q, k=5)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, atol=5e-2)
