@@ -79,7 +79,7 @@ def main():
         import jax
 
         jax.profiler.start_trace(trace_dir)
-    best_fps = 0.0
+    fps_rounds = []
     for _ in range(rounds):
         t0 = time.perf_counter()
         n = 0
@@ -88,18 +88,25 @@ def main():
             n += o.boxes.shape[0]
         sync(o)
         dt = time.perf_counter() - t0
-        best_fps = max(best_fps, n / dt)
+        fps_rounds.append(n / dt)
     if trace_dir:
         jax.profiler.stop_trace()
 
+    # median is the defensible sustained number (max rewards one lucky
+    # scheduling round; the spread is published alongside)
+    fps_rounds.sort()
+    median_fps = fps_rounds[len(fps_rounds) // 2]
     print(json.dumps({
         "metric": "e2e_1080p_frames_per_sec_per_chip "
                   "(SCRFD-10G det + NMS + align + ArcFace-R50 embed + "
                   f"gallery-{gallery_size} match, max_num={max_num}, "
-                  f"faces_in_batch={faces})",
-        "value": round(best_fps, 2),
+                  f"faces_in_batch={faces}, median of {rounds} rounds, "
+                  f"spread {min(fps_rounds):.0f}-{max(fps_rounds):.0f}, "
+                  "synthetic frames + random weights: workload shape is "
+                  "the spec'd video config, detection content is noise)",
+        "value": round(median_fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(best_fps / TARGET_FPS, 4),
+        "vs_baseline": round(median_fps / TARGET_FPS, 4),
     }))
 
 

@@ -31,7 +31,12 @@ def main():
         all_pairs_similarity, duplicate_groups)
     from scrfd_arcface_facerecognition_tpu.apps.face_analysis import FaceAnalysis
 
-    results = []
+    class _Results(list):
+        def append(self, r):   # stream each row as soon as it's measured
+            print(json.dumps(r), flush=True)
+            super().append(r)
+
+    results = _Results()
     rng = np.random.default_rng(0)
 
     # ---- single-frame latency (configs 1-2) ------------------------------
@@ -87,8 +92,101 @@ def main():
                                   "det_10g+r50)",
                         "value": round(len(imgs) / dt, 2), "unit": "img/s"})
 
-    for r in results:
-        print(json.dumps(r))
+    # ---- realistic-density + auto-warp-policy variants -------------------
+    # The headline bench saturates every face slot (960 faces/batch) and
+    # forces the pallas warp; production video carries 1-3 faces/frame and
+    # runs the auto policy (pallas with envelope fallback). Both measured
+    # here by calibrating the threshold so ~2 faces/frame pass.
+    for policy in ("force", "auto"):
+        dense = FacePipeline(det_variant="det_10g", rec_variant="w600k_r50",
+                             conf_thres=0.0, max_det=16, gallery_capacity=128,
+                             dtype=jnp.bfloat16, use_pallas_warp=policy)
+        dense.set_gallery(rng.normal(size=(128, 512)).astype(np.float32),
+                          [f"p{i}" for i in range(128)])
+        batch = 96
+        frames = jnp.asarray(rng.integers(0, 255, (batch, 1080, 1920, 3),
+                                          dtype=np.uint8))
+        probe = dense(frames, max_num=10)
+        scores = np.sort(np.asarray(probe.scores).ravel())[::-1]
+        thresh = float(scores[2 * batch])          # ~2 faces/frame pass
+        dense.detector.conf_thres = thresh
+        dense._jitted.clear()
+        dense.detector._jitted.clear()
+        out = dense(frames, max_num=10)            # recompile at new thresh
+        _ = np.asarray(out.match_sim[0, 0])
+        faces = int(np.asarray(out.valid).sum())
+        t0 = time.perf_counter()
+        n = 0
+        for o in dense.process_stream([frames] * 8, max_num=10):
+            n += o.boxes.shape[0]
+        _ = np.asarray(o.match_sim[0, 0])
+        dt = time.perf_counter() - t0
+        results.append({
+            "metric": "e2e_1080p_fps_realistic_density "
+                      f"(~2 faces/frame actual={faces}/{batch}, "
+                      f"warp_policy={policy}, det_10g+r50)",
+            "value": round(n / dt, 2), "unit": "frames/sec/chip"})
+
+    # ---- N-stream aggregate serving (MultiStreamReader e2e) --------------
+    # The serving model docs/PERF.md describes: N cameras decode on host
+    # threads feeding ONE shared device batch per cycle. Measured end to
+    # end (decode + batch assembly + full pipeline) over synthetic 1080p
+    # H.264-in-mp4 files.
+    import tempfile
+
+    from scrfd_arcface_facerecognition_tpu.runtime.video import (
+        MultiStreamReader, open_capture)
+
+    n_streams = int(os.environ.get("BENCH_STREAMS", "8"))
+    n_frames = int(os.environ.get("BENCH_STREAM_FRAMES", "96"))
+    tmpdir = tempfile.mkdtemp(prefix="bench_streams_")
+    paths_v = []
+    base = rng.integers(0, 255, (1080, 1920, 3), dtype=np.uint8)
+    for si in range(n_streams):
+        p = os.path.join(tmpdir, f"s{si}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 24.0,
+                             (1920, 1080))
+        for fi in range(n_frames):
+            # cheap per-frame variation keeps the encoder honest without
+            # regenerating 1080p noise per frame
+            frame = np.roll(base, fi * 7, axis=1)
+            wr.write(frame)
+        wr.release()
+        paths_v.append(p)
+
+    pipe2 = FacePipeline(det_variant="det_10g", rec_variant="w600k_r50",
+                         max_det=16, gallery_capacity=128,
+                         dtype=jnp.bfloat16, use_pallas_warp="force")
+    pipe2.set_gallery(rng.normal(size=(128, 512)).astype(np.float32),
+                      [f"p{i}" for i in range(128)])
+    warm = jnp.asarray(rng.integers(0, 255, (n_streams, 1080, 1920, 3),
+                                    dtype=np.uint8))
+    _ = np.asarray(pipe2(warm, max_num=10).match_sim[0, 0])
+
+    reader = MultiStreamReader([open_capture(p) for p in paths_v])
+    t0 = time.perf_counter()
+    n = 0
+    try:
+        def batches():
+            for batch_np, ids in reader:
+                if len(ids) == n_streams:   # full cycles only (one compile)
+                    yield jnp.asarray(batch_np)
+        for o in pipe2.process_stream(batches(), max_num=10):
+            n += o.boxes.shape[0]
+        _ = np.asarray(o.match_sim[0, 0])
+    finally:
+        reader.release()
+    dt = time.perf_counter() - t0
+    results.append({
+        "metric": f"multistream_aggregate_fps ({n_streams} x 1080p mp4 "
+                  "decode->batch->detect+embed+match e2e, "
+                  "MultiStreamReader)",
+        "value": round(n / dt, 2), "unit": "frames/sec/chip",
+        "per_stream_fps": round(n / dt / n_streams, 2)})
+
+    import shutil
+
+    shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
