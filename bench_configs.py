@@ -30,6 +30,10 @@ def main():
     from scrfd_arcface_facerecognition_tpu.gallery import (
         all_pairs_similarity, duplicate_groups)
     from scrfd_arcface_facerecognition_tpu.apps.face_analysis import FaceAnalysis
+    from scrfd_arcface_facerecognition_tpu.utils.compile_cache import (
+        enable_compile_cache)
+
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
     class _Results(list):
         def append(self, r):   # stream each row as soon as it's measured
@@ -92,38 +96,37 @@ def main():
                                   "det_10g+r50)",
                         "value": round(len(imgs) / dt, 2), "unit": "img/s"})
 
-    # ---- realistic-density + auto-warp-policy variants -------------------
-    # The headline bench saturates every face slot (960 faces/batch) and
-    # forces the pallas warp; production video carries 1-3 faces/frame and
-    # runs the auto policy (pallas with envelope fallback). Both measured
-    # here by calibrating the threshold so ~2 faces/frame pass.
+    # ---- realistic-density + warp-fallback variants ----------------------
+    # The headline bench saturates every face slot (960 faces/batch);
+    # production video carries 1-3 faces/frame. Score-threshold calibration
+    # is impossible with random weights (the bf16 sigmoid saturates every
+    # score to exactly 1.0), so density is set the honest way: max_num=2
+    # caps the per-frame selection, giving the real 2-face stage-2 load.
+    # policy=force runs the pallas warp; policy=auto with degenerate random
+    # landmarks exceeds the repair budget and measures the full XLA-warp
+    # fallback branch under load (the path production takes when the
+    # envelope trips).
     for policy in ("force", "auto"):
         dense = FacePipeline(det_variant="det_10g", rec_variant="w600k_r50",
-                             conf_thres=0.0, max_det=16, gallery_capacity=128,
+                             max_det=16, gallery_capacity=128,
                              dtype=jnp.bfloat16, use_pallas_warp=policy)
         dense.set_gallery(rng.normal(size=(128, 512)).astype(np.float32),
                           [f"p{i}" for i in range(128)])
         batch = 96
         frames = jnp.asarray(rng.integers(0, 255, (batch, 1080, 1920, 3),
                                           dtype=np.uint8))
-        probe = dense(frames, max_num=10)
-        scores = np.sort(np.asarray(probe.scores).ravel())[::-1]
-        thresh = float(scores[2 * batch])          # ~2 faces/frame pass
-        dense.detector.conf_thres = thresh
-        dense._jitted.clear()
-        dense.detector._jitted.clear()
-        out = dense(frames, max_num=10)            # recompile at new thresh
+        out = dense(frames, max_num=2)
         _ = np.asarray(out.match_sim[0, 0])
         faces = int(np.asarray(out.valid).sum())
         t0 = time.perf_counter()
         n = 0
-        for o in dense.process_stream([frames] * 8, max_num=10):
+        for o in dense.process_stream([frames] * 8, max_num=2):
             n += o.boxes.shape[0]
         _ = np.asarray(o.match_sim[0, 0])
         dt = time.perf_counter() - t0
         results.append({
             "metric": "e2e_1080p_fps_realistic_density "
-                      f"(~2 faces/frame actual={faces}/{batch}, "
+                      f"(max_num=2, faces={faces}/{batch} frames, "
                       f"warp_policy={policy}, det_10g+r50)",
             "value": round(n / dt, 2), "unit": "frames/sec/chip"})
 
@@ -141,15 +144,20 @@ def main():
     n_frames = int(os.environ.get("BENCH_STREAM_FRAMES", "96"))
     tmpdir = tempfile.mkdtemp(prefix="bench_streams_")
     paths_v = []
-    base = rng.integers(0, 255, (1080, 1920, 3), dtype=np.uint8)
+    # codec-realistic content: smooth gradients + a moving block. Noise
+    # frames are a codec worst case (mp4v decode collapsed to ~5 fps/stream
+    # on them, measuring the codec, not the serving path).
+    yy, xx = np.mgrid[0:1080, 0:1920]
+    base = np.stack([(xx // 8) % 256, (yy // 8) % 256,
+                     ((xx + yy) // 16) % 256], -1).astype(np.uint8)
     for si in range(n_streams):
         p = os.path.join(tmpdir, f"s{si}.mp4")
         wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 24.0,
                              (1920, 1080))
         for fi in range(n_frames):
-            # cheap per-frame variation keeps the encoder honest without
-            # regenerating 1080p noise per frame
-            frame = np.roll(base, fi * 7, axis=1)
+            frame = base.copy()
+            x0 = (40 * fi + 100 * si) % 1600
+            frame[300:600, x0:x0 + 300] = (si * 30 % 255, 200, 80)
             wr.write(frame)
         wr.release()
         paths_v.append(p)
@@ -163,6 +171,26 @@ def main():
                                     dtype=np.uint8))
     _ = np.asarray(pipe2(warm, max_num=10).match_sim[0, 0])
 
+    # (a) host side alone: N-stream decode + batch assembly aggregate
+    reader = MultiStreamReader([open_capture(p) for p in paths_v])
+    t0 = time.perf_counter()
+    n = 0
+    try:
+        for batch_np, ids in reader:
+            n += len(ids)
+    finally:
+        reader.release()
+    dt = time.perf_counter() - t0
+    results.append({
+        "metric": f"multistream_decode_aggregate_fps ({n_streams} x 1080p "
+                  "mp4 decode -> shared batch assembly, host only)",
+        "value": round(n / dt, 2), "unit": "frames/sec",
+        "per_stream_fps": round(n / dt / n_streams, 2)})
+
+    # (b) end to end including the host->device frame transfer. NOTE: on
+    # this development transport (remote-PJRT tunnel) the 48 MB/cycle
+    # frame upload dominates — the number measures the tunnel, not the
+    # design; a co-located host moves 1080p batches at PCIe rates.
     reader = MultiStreamReader([open_capture(p) for p in paths_v])
     t0 = time.perf_counter()
     n = 0
@@ -179,8 +207,8 @@ def main():
     dt = time.perf_counter() - t0
     results.append({
         "metric": f"multistream_aggregate_fps ({n_streams} x 1080p mp4 "
-                  "decode->batch->detect+embed+match e2e, "
-                  "MultiStreamReader)",
+                  "decode->upload->detect+embed+match e2e, "
+                  "MultiStreamReader; transport-bound on the dev tunnel)",
         "value": round(n / dt, 2), "unit": "frames/sec/chip",
         "per_stream_fps": round(n / dt / n_streams, 2)})
 
