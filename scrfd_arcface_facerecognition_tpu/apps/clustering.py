@@ -694,22 +694,26 @@ class SmartFaceEngine:
         self.vector_db.delete_embedding(person_id2)
 
     def find_and_merge_duplicates(self, similarity_threshold: Optional[float]
-                                  = None) -> int:
+                                  = None, return_pairs: bool = False):
         """ONE G x G cosine matmul + union-find, replacing the per-person
-        Qdrant loop (:2726-2797). Groups merge into their lowest id."""
+        Qdrant loop (:2726-2797). Groups merge into their lowest id.
+        Returns the merge count, or (count, [{kept, merged, name}]) with
+        return_pairs=True (the web UI's merge summary)."""
         if similarity_threshold is None:
             similarity_threshold = \
                 self.config["face_recognition"]["merge_duplicate_threshold"]
         mat, ids = self.vector_db.dense_matrix()
-        if len(ids) < 2:
-            return 0
-        merged = 0
-        for group in duplicate_groups(mat, similarity_threshold, ids):
-            keep = group[0]
-            for other in group[1:]:
-                self.merge_duplicate_persons(keep, other)
-                merged += 1
-        return merged
+        merged, pairs = 0, []
+        if len(ids) >= 2:
+            for group in duplicate_groups(mat, similarity_threshold, ids):
+                keep = group[0]
+                for other in group[1:]:
+                    gone = self.db.get_person(other)
+                    self.merge_duplicate_persons(keep, other)
+                    merged += 1
+                    pairs.append({"kept": keep, "merged": other,
+                                  "name": (gone or {}).get("name", "")})
+        return (merged, pairs) if return_pairs else merged
 
     # ------------------------------------------------------- stats / web
 

@@ -150,9 +150,10 @@ class WebApp:
 
     def merge_duplicates(self, body: Dict[str, Any]):
         with self._lock:
-            merged = self.engine.find_and_merge_duplicates(
-                body.get("threshold"))
+            merged, pairs = self.engine.find_and_merge_duplicates(
+                body.get("threshold"), return_pairs=True)
         return 200, None, {"success": True, "merged": merged,
+                           "pairs": pairs,
                            "message": f"Merged {merged} duplicate pairs"}
 
     def clear_database(self, body):
@@ -235,7 +236,17 @@ class WebApp:
                                        ("total_comparisons", "processed",
                                         "same_person", "different_person",
                                         "errors")},
-                           "accuracy_vs_api": results.get("accuracy_vs_api", 0)}
+                           "accuracy_vs_api": results.get("accuracy_vs_api", 0),
+                           # per-comparison rows for the UI's result table
+                           # (the same field set the results file pins)
+                           "comparisons": payload["comparisons"],
+                           "confidences": [
+                               {"comparison_id": r["comparison_id"],
+                                "confidence": r["confidence"],
+                                "our_result": r["our_result"],
+                                "api_vs_our_match": r["api_vs_our_match"],
+                                "error": r["error"]}
+                               for r in results["results"]]}
 
     def clear_cache(self, body):
         cache_dir = self.engine.image_cache_dir

@@ -268,8 +268,31 @@ async function runComparisons() {
     const r = await api('/api/process-face-comparisons-from-api',
       {method:'POST', headers:{'Content-Type':'application/json'},
        body: JSON.stringify({records})});
-    $('cmpout').innerHTML = '<pre>' + JSON.stringify(r.summary, null, 2) +
-      '\\naccuracy vs API: ' + r.accuracy_vs_api + '%</pre>';
+    // summary tiles + a per-comparison result table (reference UI's
+    // face-comparison tab detail, templates/index.html)
+    const s = r.summary;
+    const conf = Object.fromEntries(
+      (r.confidences ?? []).map(c => [c.comparison_id, c]));
+    const rows = (r.comparisons ?? []).map((c, i) => {
+      const extra = (r.confidences ?? [])[i] ?? {};
+      const agree = extra.api_vs_our_match;
+      return `<tr><td>${c.fileName || ''}</td><td>${c.event || ''}</td>` +
+        `<td>${c.camera || ''}</td><td>${c.eventId || ''}</td>` +
+        `<td>${c.approve ? 'yes' : 'no'}</td>` +
+        `<td class="${c.match_status === 'SAME' ? 'ok' : ''}">${c.match_status}</td>` +
+        `<td>${extra.confidence != null ? (extra.confidence * 100).toFixed(1) + '%' : ''}</td>` +
+        `<td>${agree == null ? '' : agree ? '&#10003;' : '&#10007;'}</td>` +
+        `<td>${extra.error || ''}</td></tr>`;
+    }).join('');
+    $('cmpout').innerHTML =
+      `<p><b>${s.total_comparisons}</b> compared · ` +
+      `<b>${s.same_person}</b> same · <b>${s.different_person}</b> different · ` +
+      `<b>${s.errors}</b> errors · accuracy vs API <b>${(+r.accuracy_vs_api).toFixed(1)}%</b> · ` +
+      `saved to <code>${r.results_file}</code></p>` +
+      (rows ? '<table><tr><th>file</th><th>event</th><th>camera</th>' +
+        '<th>eventId</th><th>API approve</th><th>our match</th>' +
+        '<th>confidence</th><th>agree</th><th>error</th></tr>' +
+        rows + '</table>' : '');
   } catch (e) { $('cmpout').innerHTML = 'Failed: ' + e.message; }
 }
 
@@ -296,7 +319,11 @@ async function mergeDuplicates() {
     const r = await api('/api/merge-duplicates', {method:'POST',
       headers:{'Content-Type':'application/json'},
       body: JSON.stringify({threshold: parseFloat($('mergeth').value)})});
-    status(r.message); loadStats(); renderTab();
+    // merge summary: which persons were folded into which
+    const detail = (r.pairs ?? []).map(p =>
+      `${p.name || 'person'} #${p.merged} &rarr; #${p.kept}`).join(', ');
+    status(r.message + (detail ? ' — ' + detail : ''));
+    loadStats(); renderTab();
   } catch (e) { status('Failed: ' + e.message, false); }
 }
 async function clearDb() {

@@ -386,3 +386,50 @@ def test_ui_person_drilldown_contract(app):
         for key in ("visit_id", "customer_id", "entry_time", "image_url",
                     "saved_image_path", "similarity"):
             assert key in v, key
+
+
+def test_comparison_endpoint_returns_rows_and_ui_renders_them(app):
+    """The comparison endpoint serves per-comparison rows + confidences and
+    the UI renders them as a result table (reference face-comparison tab,
+    templates/index.html)."""
+    from scrfd_arcface_facerecognition_tpu.apps.webui import INDEX_HTML
+
+    u1 = app._store.add("http://x/c1.jpg", identity=1)
+    u2 = app._store.add("http://x/c2.jpg", identity=1, jitter=1)
+    status, _, r = app.dispatch(
+        "POST", "/api/process-face-comparisons-from-api",
+        {"records": [{"id": "v1", "image": u1, "refImage": u2,
+                      "isConverted": True,
+                      "entryEventIds": [{"fileName": "f.jpg",
+                                         "event": "entry", "camera": "c0",
+                                         "eventId": "e1"}]}]})
+    assert status == 200 and r["success"]
+    assert len(r["comparisons"]) == 1
+    assert set(r["comparisons"][0]) == {"fileName", "event", "camera",
+                                        "eventId", "approve",
+                                        "match_status", "branch_id"}
+    assert len(r["confidences"]) == 1
+    assert r["confidences"][0]["our_result"] is True
+    # UI renders the rows
+    block = INDEX_HTML.split("async function runComparisons")[1]
+    for needle in ("match_status", "confidence", "api_vs_our_match",
+                   "accuracy_vs_api", "results_file"):
+        assert needle in block, needle
+
+
+def test_merge_endpoint_returns_pairs(app):
+    # two nearly-identical identities cluster as separate persons first
+    # (different URLs, same identity, high mutual similarity)
+    ok_box = {"width": 90, "height": 120, "top": 300, "left": 300}
+    u1 = app._store.add("http://x/m1.jpg", identity=5)
+    u2 = app._store.add("http://x/m2.jpg", identity=6)
+    app.dispatch("POST", "/api/process-visits",
+                 {"visits": [visit(1, u1, box=ok_box),
+                             visit(2, u2, box=ok_box)],
+                  "save_images": False})
+    status, _, r = app.dispatch("POST", "/api/merge-duplicates",
+                                {"threshold": -1.0})  # merge everything
+    assert status == 200 and r["success"]
+    assert r["merged"] == len(r["pairs"])
+    for p in r["pairs"]:
+        assert set(p) == {"kept", "merged", "name"}
