@@ -243,21 +243,30 @@ def torch_rec_forward(model):
 
 def flax_det_forward(model, variables):
     """Wrap an ordered-importer Flax SCRFD as a det_forward callback
-    (independent compute path for real-file cross-checks)."""
+    (independent compute path for real-file cross-checks).
+
+    Runs under default_matmul_precision('float32'): TPU executes f32
+    convs at bf16 precision by default, which would put ~1e-2 of
+    backend noise into a comparison whose whole point is exactness."""
+    import jax
     import jax.numpy as jnp
 
     def fwd(blob):
         x = jnp.asarray(blob.transpose(0, 2, 3, 1))
-        out = model.apply(variables, x)
+        with jax.default_matmul_precision("float32"):
+            out = model.apply(variables, x)
         return [np.asarray(t)
                 for t in out["scores"] + out["bboxes"] + out["kps"]]
     return fwd
 
 
 def flax_rec_forward(model, variables):
+    import jax
     import jax.numpy as jnp
 
     def fwd(blob):
-        return np.asarray(model.apply(
-            variables, jnp.asarray(blob.transpose(0, 2, 3, 1))))
+        with jax.default_matmul_precision("float32"):
+            out = model.apply(
+                variables, jnp.asarray(blob.transpose(0, 2, 3, 1)))
+        return np.asarray(out)
     return fwd

