@@ -1,8 +1,11 @@
 """Single-page web UI served at '/'.
 
 Functional equivalent of the reference's templates/index.html surface
-(SURVEY.md §2.1): stats tiles, visit-JSON paste form, API fetch form, tabs
-for clustered persons / low-similarity images / face comparison, and the
+(SURVEY.md §2.1): stats tiles, visit-JSON paste form, API fetch form with a
+localStorage-backed API-config panel (save/load/test-connection,
+templates/index.html:1316-1444), tabs for clustered persons /
+low-similarity images / face comparison, per-person drill-down, a
+click-to-enlarge image modal (index.html:922-951), and the
 merge-duplicates / clear-database / clear-cache actions — written fresh
 against our /api endpoints.
 """
@@ -83,7 +86,9 @@ INDEX_HTML = """<!DOCTYPE html>
       <br><button onclick="processVisits()">Process</button>
     </div>
     <div class="card">
-      <h3>Fetch visits from API</h3>
+      <h3>Fetch visits from API
+        <button class="plain" style="float:right;padding:3px 9px"
+                onclick="toggleApiConfig()">config</button></h3>
       <label>start <input id="fstart" type="date"></label>
       <label>end <input id="fend" type="date"></label><br>
       <label>page <input id="fpage" type="number" value="0" style="width:60px"></label>
@@ -91,6 +96,19 @@ INDEX_HTML = """<!DOCTYPE html>
       <label><input id="fclear" type="checkbox"> clear existing</label>
       <br><button onclick="fetchVisitsFromApi()">Fetch &amp; process</button>
       <div id="fetchout" style="font-size:12px;color:var(--dim)"></div>
+      <div id="apiconfig" style="display:none;border-top:1px solid var(--line);
+           margin-top:10px;padding-top:8px">
+        <label>API URL <input id="capiurl" style="width:95%" placeholder="https://..."></label><br>
+        <label>start time <input id="cstime" value="00:00:00" style="width:90px"></label>
+        <label>end time <input id="cetime" value="23:59:59" style="width:90px"></label>
+        <label><input id="callbranch" type="checkbox" checked> all branches</label><br>
+        <label>API key <input id="capikey" style="width:44%"></label>
+        <label>auth token <input id="cauthtok" style="width:44%"></label><br>
+        <button class="plain" onclick="saveApiConfig()">Save</button>
+        <button class="plain" onclick="loadApiConfigFromServer()">Load server config</button>
+        <button class="plain" onclick="testApiConnection()">Test connection</button>
+        <div id="apistatus" style="font-size:12px;margin-top:4px"></div>
+      </div>
     </div>
     <div class="card">
       <h3>Actions</h3>
@@ -104,6 +122,13 @@ INDEX_HTML = """<!DOCTYPE html>
   <div id="status"></div>
   <div id="progress"><div class="bar"><div id="progbar"></div></div>
     <span id="progtext"></span></div>
+
+  <div id="modal" onclick="closeModal()" style="display:none;position:fixed;
+       inset:0;background:rgba(12,16,24,.82);z-index:50;cursor:zoom-out;
+       align-items:center;justify-content:center">
+    <img id="modalimg" style="max-width:92vw;max-height:92vh;
+         border-radius:8px" alt="">
+  </div>
 
   <div class="tabs" id="tabs">
     <div data-tab="persons" class="active" onclick="showTab('persons')">Clustered persons</div>
@@ -221,6 +246,8 @@ async function loadThumbs(root) {
   for (const img of root.querySelectorAll('img[data-path]')) {
     const p = img.dataset.path;
     if (!p) { img.style.visibility = 'hidden'; continue; }
+    img.style.cursor = 'zoom-in';
+    img.onclick = (ev) => { ev.stopPropagation(); openModal(img); };
     if (/^https?:/.test(p)) { img.src = p; continue; }
     try {
       const { image } = await api('/api/image-base64/' + encodeURI(p));
@@ -228,6 +255,19 @@ async function loadThumbs(root) {
     } catch (e) { img.style.visibility = 'hidden'; }
   }
 }
+
+// click-to-enlarge image modal (the reference UI's openModal/closeModal,
+// templates/index.html:922-951); local paths re-fetch through /api/image/
+// for the full-resolution file instead of the 300px base64 thumbnail.
+function openModal(img) {
+  const p = img.dataset.path || '';
+  $('modalimg').src = /^https?:/.test(p) || !p
+    ? img.src : '/api/image/' + encodeURI(p);
+  $('modal').style.display = 'flex';
+}
+function closeModal() { $('modal').style.display = 'none'; }
+document.addEventListener('keydown',
+  (e) => { if (e.key === 'Escape') closeModal(); });
 
 let progTimer = null;
 function pollProgress(on) {
@@ -296,6 +336,79 @@ async function runComparisons() {
   } catch (e) { $('cmpout').innerHTML = 'Failed: ' + e.message; }
 }
 
+// API configuration panel (the reference UI's api-input-form:
+// save/load via localStorage, server defaults via GET /api/config,
+// browser-direct test fetch — templates/index.html:1316-1444).
+function toggleApiConfig() {
+  const el = $('apiconfig');
+  el.style.display = el.style.display === 'none' ? 'block' : 'none';
+}
+function apiStatus(msg, ok=true) {
+  $('apistatus').innerHTML =
+    `<span class="pill ${ok ? 'ok' : 'bad'}">${msg}</span>`;
+}
+function apiConfigBody() {
+  return {
+    api_url: $('capiurl').value || undefined,
+    start_time: $('cstime').value || undefined,
+    end_time: $('cetime').value || undefined,
+    all_branch: $('callbranch').checked,
+    api_key: $('capikey').value || undefined,
+    auth_token: $('cauthtok').value || undefined,
+  };
+}
+function saveApiConfig() {
+  localStorage.setItem('apiConfig', JSON.stringify({
+    ...apiConfigBody(), start_date: $('fstart').value,
+    end_date: $('fend').value, page: $('fpage').value,
+    limit: $('flimit').value}));
+  apiStatus('API configuration saved');
+}
+function loadApiConfig() {
+  const saved = localStorage.getItem('apiConfig');
+  if (!saved) return;
+  const c = JSON.parse(saved);
+  $('capiurl').value = c.api_url ?? ''; $('cstime').value = c.start_time ?? '00:00:00';
+  $('cetime').value = c.end_time ?? '23:59:59';
+  $('callbranch').checked = c.all_branch !== false;
+  $('capikey').value = c.api_key ?? ''; $('cauthtok').value = c.auth_token ?? '';
+  if (c.start_date) $('fstart').value = c.start_date;
+  if (c.end_date) $('fend').value = c.end_date;
+  if (c.page) $('fpage').value = c.page;
+  if (c.limit) $('flimit').value = c.limit;
+}
+async function loadApiConfigFromServer() {
+  try {
+    const { config } = await api('/api/config');
+    if (config.API_URL) $('capiurl').value = config.API_URL;
+    if (config.START_DATE) $('fstart').value = config.START_DATE;
+    if (config.END_DATE) $('fend').value = config.END_DATE;
+    // credentials come back redacted ('***') by design — never filled in
+    apiStatus('Loaded server api_config.txt (credentials stay server-side)');
+  } catch (e) { apiStatus('No server config: ' + e.message, false); }
+}
+async function testApiConnection() {
+  const url = $('capiurl').value;
+  if (!url) { apiStatus('Set an API URL first', false); return; }
+  apiStatus('Testing…');
+  try {
+    const params = new URLSearchParams({
+      startDate: $('fstart').value || '', endDate: $('fend').value || '',
+      page: $('fpage').value || '0', limit: '1',
+      startTime: $('cstime').value || '', endTime: $('cetime').value || '',
+      allBranch: String($('callbranch').checked)});
+    const headers = {};
+    if ($('capikey').value) headers['X-API-Key'] = $('capikey').value;
+    if ($('cauthtok').value)
+      headers['Authorization'] = 'Bearer ' + $('cauthtok').value;
+    const r = await fetch(`${url}?${params}`, {headers});
+    if (!r.ok) throw new Error(r.status + ' ' + r.statusText);
+    const data = await r.json();
+    const n = Array.isArray(data) ? data.length : (data.data ?? []).length;
+    apiStatus(`Connection OK — ${n} visit(s) in first page`);
+  } catch (e) { apiStatus('Connection failed: ' + e.message, false); }
+}
+
 async function fetchVisitsFromApi() {
   try {
     status('Fetching from API…');
@@ -303,6 +416,7 @@ async function fetchVisitsFromApi() {
     const r = await api('/api/process-visits-from-api', {method:'POST',
       headers:{'Content-Type':'application/json'},
       body: JSON.stringify({
+        ...apiConfigBody(),
         start_date: $('fstart').value || undefined,
         end_date: $('fend').value || undefined,
         page: parseInt($('fpage').value) || 0, limit: parseInt($('flimit').value) || 100,
@@ -336,7 +450,7 @@ async function clearCache() {
   status(r.message);
 }
 
-loadStats(); renderTab();
+loadStats(); renderTab(); loadApiConfig();
 setInterval(loadStats, 15000);
 </script>
 </body>

@@ -263,6 +263,37 @@ def test_ui_has_api_fetch_form():
         assert field in INDEX_HTML
 
 
+def test_ui_api_config_panel_and_modal():
+    """Reference UI surface: the API-config panel (localStorage
+    save/load + server-config load + browser-direct test connection,
+    templates/index.html:1316-1444) and the click-to-enlarge image modal
+    (index.html:922-951)."""
+    from scrfd_arcface_facerecognition_tpu.apps.webui import INDEX_HTML
+
+    # config panel fields and actions
+    for field in ("capiurl", "cstime", "cetime", "callbranch",
+                  "capikey", "cauthtok"):
+        assert field in INDEX_HTML
+    for fn in ("saveApiConfig", "loadApiConfig", "loadApiConfigFromServer",
+               "testApiConnection", "toggleApiConfig"):
+        assert f"function {fn}" in INDEX_HTML
+    assert "localStorage.setItem('apiConfig'" in INDEX_HTML
+    assert "'/api/config'" in INDEX_HTML
+    # the fetch form sends the config overrides the webapp accepts
+    fetch_fn = INDEX_HTML.split("async function fetchVisitsFromApi")[1]
+    assert "apiConfigBody()" in fetch_fn
+    body_fn = INDEX_HTML.split("function apiConfigBody")[1]
+    for key in ("api_url", "start_time", "end_time", "all_branch",
+                "api_key", "auth_token"):
+        assert key in body_fn
+    # image modal: thumbnails open it; Escape and click close it
+    assert 'id="modal"' in INDEX_HTML and 'id="modalimg"' in INDEX_HTML
+    assert "function openModal" in INDEX_HTML
+    assert "function closeModal" in INDEX_HTML
+    thumbs_fn = INDEX_HTML.split("async function loadThumbs")[1]
+    assert "openModal(img)" in thumbs_fn
+
+
 def test_concurrent_requests_during_clustering(app):
     """Race/stress coverage (SURVEY §5): GET endpoints hammered from many
     threads WHILE clustering jobs run must never error or corrupt state —
