@@ -120,9 +120,11 @@ def main():
         faces = int(np.asarray(out.valid).sum())
         t0 = time.perf_counter()
         n = 0
+        o = None
         for o in dense.process_stream([frames] * 8, max_num=2):
             n += o.boxes.shape[0]
-        _ = np.asarray(o.match_sim[0, 0])
+        if o is not None:
+            _ = np.asarray(o.match_sim[0, 0])
         dt = time.perf_counter() - t0
         results.append({
             "metric": "e2e_1080p_fps_realistic_density "
@@ -199,8 +201,13 @@ def main():
             for batch_np, ids in reader:
                 if len(ids) == n_streams:   # full cycles only (one compile)
                     yield jnp.asarray(batch_np)
+        o = None
         for o in pipe2.process_stream(batches(), max_num=10):
             n += o.boxes.shape[0]
+        if o is None:
+            raise RuntimeError(
+                f"no full {n_streams}-stream cycle was ever assembled "
+                "(a stream failed to open or stalled on its first frame)")
         _ = np.asarray(o.match_sim[0, 0])
     finally:
         reader.release()

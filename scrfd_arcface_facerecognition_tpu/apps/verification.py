@@ -25,15 +25,26 @@ from .clustering import default_image_loader
 logger = logging.getLogger(__name__)
 
 
+_COMPARISON_HANDLER = "face_comparison_file"
+
+
 def enable_comparison_log(path: str = "face_comparison.log") -> None:
     """Attach the dedicated comparison log file the reference writes
     (compare_face_from_api.py:58-61: FileHandler('face_comparison.log') +
-    stream handler on the module logger)."""
-    if any(isinstance(h, logging.FileHandler)
-           and getattr(h, "baseFilename", "").endswith(path)
-           for h in logger.handlers):
-        return
+    stream handler on the module logger). delay=True: the file is only
+    created when a comparison actually logs. Exactly ONE comparison file
+    handler lives on the module logger — re-enabling with a different path
+    replaces it (instances with different log_file values would otherwise
+    accumulate handlers and duplicate every line into stale files)."""
+    for h in list(logger.handlers):
+        if getattr(h, "name", None) != _COMPARISON_HANDLER:
+            continue
+        if getattr(h, "baseFilename", "").endswith(path):
+            return                      # already logging to this file
+        logger.removeHandler(h)
+        h.close()
     handler = logging.FileHandler(path, delay=True)
+    handler.name = _COMPARISON_HANDLER
     handler.setFormatter(logging.Formatter(
         "%(asctime)s - %(levelname)s - %(message)s"))
     logger.addHandler(handler)

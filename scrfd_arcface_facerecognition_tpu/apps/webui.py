@@ -139,8 +139,17 @@ INDEX_HTML = """<!DOCTYPE html>
 </main>
 <script>
 const $ = (id) => document.getElementById(id);
+// API-sourced strings (names, urls, reasons — ultimately fetched from an
+// external service) are interpolated into innerHTML: escape them, and only
+// let http(s) URLs become hrefs (blocks stored XSS / javascript: links).
+const esc = (s) => String(s ?? '').replace(/[&<>"']/g,
+  (c) => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
+const safeUrl = (u) => {
+  const s = String(u ?? '');
+  return (s.startsWith('http://') || s.startsWith('https://')) ? esc(s) : '';
+};
 const status = (msg, ok=true) =>
-  $('status').innerHTML = `<span class="pill ${ok ? 'ok' : 'bad'}">${msg}</span>`;
+  $('status').innerHTML = `<span class="pill ${ok ? 'ok' : 'bad'}">${esc(msg)}</span>`;
 
 async function api(path, opts) {
   const r = await fetch(path, opts);
@@ -176,23 +185,23 @@ async function renderTab() {
       el.innerHTML = groups.length ? '<table><tr><th></th><th>id</th><th>name</th>' +
         '<th>visits</th><th>matches</th><th>quality</th><th>last seen</th></tr>' +
         groups.map(g => `<tr class="person-row" onclick="showPerson(${g.person_id})" style="cursor:pointer">` +
-          `<td><img class="thumb" data-path="${g.image_path ?? ''}" alt=""></td>` +
-          `<td>${g.person_id}</td><td>${g.name}` +
+          `<td><img class="thumb" data-path="${esc(g.image_path)}" alt=""></td>` +
+          `<td>${g.person_id}</td><td>${esc(g.name)}` +
           `<div class="visit-strip">${(g.images ?? []).slice(0, 6).map(
-             v => `<img data-path="${v.image_path ?? ''}" title="visit ${v.visit_id} (${((v.similarity ?? 0) * 100).toFixed(0)}%)" alt="">`
+             v => `<img data-path="${esc(v.image_path)}" title="visit ${esc(v.visit_id)} (${((v.similarity ?? 0) * 100).toFixed(0)}%)" alt="">`
            ).join('')}</div></td>` +
           `<td>${g.visit_count}</td><td>${g.match_count}</td>` +
-          `<td>${(g.face_quality ?? 0).toFixed(2)}</td><td>${g.last_seen ?? ''}</td></tr>`
+          `<td>${(g.face_quality ?? 0).toFixed(2)}</td><td>${esc(g.last_seen)}</td></tr>`
         ).join('') + '</table>' : 'No persons yet.';
       loadThumbs(el);
     } else if (activeTab === 'lowsim') {
       const { images } = await api('/api/low-similarity-images');
       el.innerHTML = images.length ? '<table><tr><th></th><th>visit</th><th>customer</th>' +
         '<th>similarity %</th><th>reason</th><th>when</th></tr>' +
-        images.map(i => `<tr><td><img class="thumb" data-path="${i.image_path ?? ''}" alt=""></td>` +
-          `<td>${i.visit_id}</td><td>${i.customer_id}</td>` +
-          `<td>${(i.similarity ?? 0).toFixed(1)}</td><td>${i.reason}</td>` +
-          `<td>${i.processed_at ?? ''}</td></tr>`).join('') + '</table>'
+        images.map(i => `<tr><td><img class="thumb" data-path="${esc(i.image_path)}" alt=""></td>` +
+          `<td>${esc(i.visit_id)}</td><td>${esc(i.customer_id)}</td>` +
+          `<td>${(i.similarity ?? 0).toFixed(1)}</td><td>${esc(i.reason)}</td>` +
+          `<td>${esc(i.processed_at)}</td></tr>`).join('') + '</table>'
         : 'No low-similarity images.';
       loadThumbs(el);
     } else {
@@ -218,20 +227,20 @@ async function showPerson(id) {
     el.innerHTML =
       `<div id="person-detail">` +
       `<button onclick="renderTab()">&larr; Back to persons</button>` +
-      `<h3><img class="thumb" data-path="${p.image_path ?? ''}" alt=""> ` +
-      `${p.name} <small>(id ${p.id})</small></h3>` +
+      `<h3><img class="thumb" data-path="${esc(p.image_path)}" alt=""> ` +
+      `${esc(p.name)} <small>(id ${esc(p.id)})</small></h3>` +
       `<p>quality ${(p.face_quality ?? 0).toFixed(2)} · ` +
-      `matches ${p.match_count ?? 0} · created ${p.created_at ?? ''} · ` +
-      `last seen ${p.last_seen ?? ''}</p>` +
+      `matches ${p.match_count ?? 0} · created ${esc(p.created_at)} · ` +
+      `last seen ${esc(p.last_seen)}</p>` +
       (visits.length ?
         '<table><tr><th></th><th>visit</th><th>customer</th>' +
         '<th>similarity %</th><th>entry time</th><th>source</th></tr>' +
         visits.map(v =>
-          `<tr><td><img class="thumb" data-path="${v.saved_image_path ?? ''}" alt=""></td>` +
-          `<td>${v.visit_id}</td><td>${v.customer_id ?? ''}</td>` +
+          `<tr><td><img class="thumb" data-path="${esc(v.saved_image_path)}" alt=""></td>` +
+          `<td>${esc(v.visit_id)}</td><td>${esc(v.customer_id)}</td>` +
           `<td>${((v.similarity ?? 0) * 100).toFixed(1)}</td>` +
-          `<td>${v.entry_time ?? ''}</td>` +
-          `<td>${v.image_url ? `<a href="${v.image_url}" target="_blank">url</a>` : ''}</td></tr>`
+          `<td>${esc(v.entry_time)}</td>` +
+          `<td>${safeUrl(v.image_url) ? `<a href="${safeUrl(v.image_url)}" target="_blank" rel="noopener">url</a>` : ''}</td></tr>`
         ).join('') + '</table>'
         : '<p>No visits recorded.</p>') +
       `</div>`;
@@ -311,24 +320,24 @@ async function runComparisons() {
     // summary tiles + a per-comparison result table (reference UI's
     // face-comparison tab detail, templates/index.html)
     const s = r.summary;
-    const conf = Object.fromEntries(
-      (r.confidences ?? []).map(c => [c.comparison_id, c]));
+    // comparisons[i] and confidences[i] describe the same record by
+    // construction (apps/webapp.py builds both from the engine results)
     const rows = (r.comparisons ?? []).map((c, i) => {
       const extra = (r.confidences ?? [])[i] ?? {};
       const agree = extra.api_vs_our_match;
-      return `<tr><td>${c.fileName || ''}</td><td>${c.event || ''}</td>` +
-        `<td>${c.camera || ''}</td><td>${c.eventId || ''}</td>` +
+      return `<tr><td>${esc(c.fileName)}</td><td>${esc(c.event)}</td>` +
+        `<td>${esc(c.camera)}</td><td>${esc(c.eventId)}</td>` +
         `<td>${c.approve ? 'yes' : 'no'}</td>` +
-        `<td class="${c.match_status === 'SAME' ? 'ok' : ''}">${c.match_status}</td>` +
+        `<td class="${c.match_status === 'SAME' ? 'ok' : ''}">${esc(c.match_status)}</td>` +
         `<td>${extra.confidence != null ? (extra.confidence * 100).toFixed(1) + '%' : ''}</td>` +
         `<td>${agree == null ? '' : agree ? '&#10003;' : '&#10007;'}</td>` +
-        `<td>${extra.error || ''}</td></tr>`;
+        `<td>${esc(extra.error)}</td></tr>`;
     }).join('');
     $('cmpout').innerHTML =
       `<p><b>${s.total_comparisons}</b> compared · ` +
       `<b>${s.same_person}</b> same · <b>${s.different_person}</b> different · ` +
       `<b>${s.errors}</b> errors · accuracy vs API <b>${(+r.accuracy_vs_api).toFixed(1)}%</b> · ` +
-      `saved to <code>${r.results_file}</code></p>` +
+      `saved to <code>${esc(r.results_file)}</code></p>` +
       (rows ? '<table><tr><th>file</th><th>event</th><th>camera</th>' +
         '<th>eventId</th><th>API approve</th><th>our match</th>' +
         '<th>confidence</th><th>agree</th><th>error</th></tr>' +
@@ -435,7 +444,7 @@ async function mergeDuplicates() {
       body: JSON.stringify({threshold: parseFloat($('mergeth').value)})});
     // merge summary: which persons were folded into which
     const detail = (r.pairs ?? []).map(p =>
-      `${p.name || 'person'} #${p.merged} &rarr; #${p.kept}`).join(', ');
+      `${esc(p.name || 'person')} #${esc(p.merged)} &rarr; #${esc(p.kept)}`).join(', ');
     status(r.message + (detail ? ' — ' + detail : ''));
     loadStats(); renderTab();
   } catch (e) { status('Failed: ' + e.message, false); }

@@ -138,6 +138,8 @@ class GalleryStore:
             return 0
         if payloads is not None and len(payloads) != len(ids):
             raise ValueError("payloads length must match ids")
+        if len(ids) == 0:   # a filtered-to-empty batch is a no-op, not an
+            return 0        # IndexError in _write_rows' run detection
         # collapse duplicate ids (last write wins) before allocating rows
         last = {int(pid): i for i, pid in enumerate(ids)}
         order = sorted(last.values())

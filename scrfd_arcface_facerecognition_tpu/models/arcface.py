@@ -167,12 +167,13 @@ class MobileFaceNet(nn.Module):
                 x = MBFDepthWise(c64, 128, 1, residual=True,
                                  dtype=self.dtype,
                                  name=f"stage0_block{bi}")(x, train=train)
+        # (out_channels, downsample group width, residual block count);
+        # residual blocks use the narrower 128/256 group widths below
         stages = [(c64, 128, cfg.mbf_blocks[1]),
                   (c128, 256, cfg.mbf_blocks[2]),
                   (c128, 512, cfg.mbf_blocks[3])]
-        prev_groups = {0: 128, 1: 256, 2: 512}
-        for si, (c, g_res, n) in enumerate(stages):
-            x = MBFDepthWise(c, prev_groups[si], 2, dtype=self.dtype,
+        for si, (c, g_down, n) in enumerate(stages):
+            x = MBFDepthWise(c, g_down, 2, dtype=self.dtype,
                              name=f"down{si}")(x, train=train)
             res_groups = 128 if si == 0 else 256
             for bi in range(n):

@@ -363,6 +363,9 @@ def import_into_variables(variables: Dict[str, Any], graph: OnnxGraph,
         elif "kernel" in leaves and leaves["kernel"].ndim == 2:    # dense
             if gemm_i >= len(ex.gemms):
                 fail(f"model has more dense layers than graph at {mod_path}")
+            if pending_real:
+                fail(f"graph BN after previous conv/gemm was never consumed "
+                     f"(model dense at {'/'.join(mod_path)} follows it)")
             src = ex.gemms[gemm_i]
             gemm_i += 1
             w = src["weight"]
@@ -440,10 +443,18 @@ def import_into_variables(variables: Dict[str, Any], graph: OnnxGraph,
                 else:
                     new_params[mod_path + (leaf,)] = arr
 
+    if pending_real:
+        # the LAST matched conv/gemm carried a real attached graph BN that
+        # no model BN consumed — only the conv-follows-conv case catches
+        # this mid-loop; catch the tail case here or the BN params are
+        # silently dropped (import "succeeds" with wrong outputs)
+        fail("graph BN attached to the final conv/gemm was never consumed "
+             "(architecture mismatch)")
     leftovers = [(n, used, len(seq)) for n, used, seq in [
         ("conv", conv_i, ex.convs), ("bn", bn_i, ex.bns),
         ("prelu", prelu_i, ex.prelus), ("gemm", gemm_i, ex.gemms),
-        ("groupnorm", gn_i, ex.gns)] if used != len(seq)]
+        ("groupnorm", gn_i, ex.gns), ("mul", mul_i, ex.muls)]
+        if used != len(seq)]
     if leftovers:
         fail("graph weights left unconsumed (architecture mismatch): "
              + ", ".join(f"{n} {u}/{t}" for n, u, t in leftovers))

@@ -168,3 +168,32 @@ def test_comparison_log_file(tmp_path):
             if isinstance(h, _logging.FileHandler):
                 v.logger.removeHandler(h)
                 h.close()
+
+
+def test_comparison_log_single_handler(tmp_path):
+    """Re-enabling with a different path REPLACES the handler — instances
+    with different log_file values must not duplicate lines into stale
+    files."""
+    import logging as _logging
+    from scrfd_arcface_facerecognition_tpu.apps import verification as v
+
+    a, b = tmp_path / "a.log", tmp_path / "b.log"
+    try:
+        v.enable_comparison_log(str(a))
+        v.enable_comparison_log(str(b))
+        ours = [h for h in v.logger.handlers
+                if getattr(h, "name", None) == v._COMPARISON_HANDLER]
+        assert len(ours) == 1
+        assert ours[0].baseFilename.endswith("b.log")
+        v.logger.info("only-into-b")
+        assert "only-into-b" in b.read_text()
+        assert not a.exists() or "only-into-b" not in a.read_text()
+        # same path again: handler is kept, not re-added
+        v.enable_comparison_log(str(b))
+        assert len([h for h in v.logger.handlers
+                    if getattr(h, "name", None) == v._COMPARISON_HANDLER]) == 1
+    finally:
+        for h in list(v.logger.handlers):
+            if isinstance(h, _logging.FileHandler):
+                v.logger.removeHandler(h)
+                h.close()

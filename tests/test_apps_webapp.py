@@ -263,6 +263,25 @@ def test_ui_has_api_fetch_form():
         assert field in INDEX_HTML
 
 
+def test_ui_script_structurally_valid():
+    """The inline <script> lexes clean (balanced brackets/strings/template
+    literals, regex-aware) — no JS engine in this image, so this is the
+    guard against shipping a syntax-broken UI (tools/check_ui_js.py)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "check_ui_js", os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "check_ui_js.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import re as _re
+    from scrfd_arcface_facerecognition_tpu.apps.webui import INDEX_HTML
+    script = _re.search(r"<script>(.*)</script>", INDEX_HTML, _re.S).group(1)
+    mod.check_js(script)
+    # sanity: the esc/safeUrl XSS guards are actually in the shipped page
+    assert "const esc" in script and "safeUrl" in script
+
+
 def test_ui_api_config_panel_and_modal():
     """Reference UI surface: the API-config panel (localStorage
     save/load + server-config load + browser-direct test connection,

@@ -245,3 +245,12 @@ def test_add_batch_rejects_bad_shapes():
     assert store.add_batch([1], np.zeros((2, 512), np.float32)) == 0
     with pytest.raises(ValueError):
         store.add_batch([1, 2], np.zeros((2, 512), np.float32), [{}])
+
+
+def test_add_batch_empty_is_noop():
+    """A filtered-to-empty batch returns 0 instead of crashing in the
+    contiguous-run detection."""
+    store = GalleryStore(capacity=8)
+    assert store.add_batch(np.zeros((0,), np.int64),
+                           np.zeros((0, 512), np.float32)) == 0
+    assert store.get_embedding_count() == 0

@@ -100,10 +100,6 @@ def main():
     print(f"chain speedup int8/bf16: {dt_bf / dt_i8:.2f}x")
 
 
-if __name__ == "__main__":
-    main()
-
-
 # ---------------------------------------------------------------- chain
 
 def bench_chain(int8: bool, n=10):
@@ -186,3 +182,7 @@ def bench_chain(int8: bool, n=10):
           f"{' + requant' if int8 else ''}): {dt * 1000:.2f} ms  "
           f"{fl / dt / 1e12:.1f} T(FL)OPS")
     return dt
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,11 @@ def main():
         leaf = jax.tree.leaves(out)[0]
         _ = np.asarray(leaf.reshape(-1)[0])
 
-    plan = ops.letterbox_plan((1080, 1920), (640, 640))
+    # production plan: FacePipeline trims the contentless pad band
+    # (tight_canvas=True), so profile the same (384, 640) canvas — the
+    # square plan overstates detect by ~40% conv work and OOMs the
+    # sub-stage section at B>=96 (full f32 square canvases + frames).
+    plan = ops.tight_letterbox_plan((1080, 1920), (640, 640))
     det_apply = pipe.detector.model.apply
     det_vars = pipe.detector.variables
     emb_apply = pipe.embedder.model.apply
@@ -69,7 +73,8 @@ def main():
     # ---- full stages -----------------------------------------------------
     detect_fn = jax.jit(lambda v, f: detect_batch(
         det_apply, v, f, plan=plan, conf_thres=0.5, iou_thres=0.4,
-        pre_nms=256, max_det=16, max_num=10, metric="max"))
+        pre_nms=256, max_det=16, max_num=10, metric="max",
+        compute_dtype=jnp.bfloat16))
     det, t_det = timeit("detect (full stage 1)", detect_fn,
                         (det_vars, frames), args.iters, sync)
     nfaces = int(np.asarray(det.valid).sum())
@@ -87,7 +92,7 @@ def main():
           f"{B / (t_det + t_em):.1f} fps")
 
     # ---- detect sub-stages ----------------------------------------------
-    lb_fn = jax.jit(lambda f: ops.letterbox(f, plan))
+    lb_fn = jax.jit(lambda f: ops.letterbox(f, plan, dtype=jnp.bfloat16))
     canvas, _ = timeit("  letterbox", lb_fn, (frames,), args.iters, sync)
     norm_fn = jax.jit(lambda c: ops.normalize_image(
         c, ops.SCRFD_MEAN, ops.SCRFD_STD))
@@ -95,7 +100,7 @@ def main():
     fwd_fn = jax.jit(lambda v, x: det_apply(v, x))
     outputs, _ = timeit("  scrfd forward", fwd_fn, (det_vars, net_in),
                         args.iters, sync)
-    dec_fn = jax.jit(lambda o: decode_outputs(o, (640, 640)))
+    dec_fn = jax.jit(lambda o: decode_outputs(o, plan.model_hw))
     decoded, _ = timeit("  decode", dec_fn, (outputs,), args.iters, sync)
 
     def topk_nms(scores, boxes, kps):
