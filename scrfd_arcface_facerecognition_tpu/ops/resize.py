@@ -217,7 +217,7 @@ def tight_letterbox_plan(frame_hw: Tuple[int, int],
     full = letterbox_plan(frame_hw, model_hw)
     nh, nw = full.new_hw
     # min_hw floors the canvas at the Pallas warp kernel's envelope: its
-    # pyramid level 1 needs >= BAND_SRC rows and a PW-lane x-window
+    # pyramid level 1 needs >= SRC_MIN_H rows and a PW-lane x-window
     # (ops/pallas_warp.py) — portrait frames would otherwise trim the
     # canvas narrower than the window.
     mh = min(full.model_hw[0], max(min_hw[0], -(-nh // multiple) * multiple))
