@@ -4,10 +4,13 @@ provides TPU-native trainers for each:
 
 - ArcFace embedder (arcface_train.py): margin-softmax with data parallelism
   over the image batch ('data' mesh axis) and the classifier matrix
-  W [D, num_classes] sharded over 'model' (partial-FC style tensor
-  parallelism — for 600k identities W is 1.2 GB and must not be
-  replicated). GSPMD sharding constraints + jit: XLA inserts the
-  psum/all_gather for the cross-shard softmax.
+  W [D, num_classes] sharded over 'model' (for 600k identities W is
+  1.2 GB and must not be replicated). GSPMD sharding constraints + jit:
+  XLA inserts the psum/all_gather for the cross-shard softmax. Partial FC
+  (arXiv:2010.05222, the technique behind the released w600k weights) is
+  available via ArcFaceTrainer(sample_rate=...): each step's softmax runs
+  over the batch positives + a sampled negative subset, shrinking logits
+  and head-gradient work by the sample rate.
 
 - SCRFD detector (scrfd_train.py): ATSS-style assignment + Quality Focal /
   DIoU / landmark smooth-L1 losses, data-parallel over frames, all
@@ -16,7 +19,7 @@ provides TPU-native trainers for each:
 
 from .arcface_train import (
     ArcFaceTrainer, TrainState, arcface_margin_logits, softmax_xent,
-    verification_metrics, evaluate_embedder,
+    partial_fc_sample, verification_metrics, evaluate_embedder,
 )
 from .scrfd_train import (
     SCRFDTrainer, SCRFDTrainState, SCRFDLossConfig, scrfd_loss, atss_assign,
@@ -28,7 +31,7 @@ from .detection_data import (
 )
 
 __all__ = ["ArcFaceTrainer", "TrainState", "arcface_margin_logits",
-           "verification_metrics", "evaluate_embedder",
+           "partial_fc_sample", "verification_metrics", "evaluate_embedder",
            "softmax_xent", "SCRFDTrainer", "SCRFDTrainState",
            "SCRFDLossConfig", "scrfd_loss", "atss_assign", "diou_loss",
            "quality_focal_loss", "pairwise_iou", "synthetic_detection_batch",

@@ -41,6 +41,34 @@ def softmax_xent(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
 
 
+def partial_fc_sample(labels: jnp.ndarray, num_classes: int,
+                      num_sample: int, rng: jax.Array
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Partial-FC negative-class sampling (static-shape, jit-safe).
+
+    The technique behind the released w600k weights (Partial FC,
+    arXiv:2010.05222): with C in the 10^5..10^6 range the softmax is
+    computed over the batch's positive classes plus a random subset of
+    negatives, shrinking the (B, C) logits and the class-matrix gradient
+    work by the sample rate. TPU formulation: every class draws a uniform
+    score, positives are forced to the front by an additive bias, and ONE
+    top-k over the scores yields a fixed-size class subset — no dynamic
+    shapes, no host round-trip.
+
+    Returns (idx (num_sample,) int32 — sampled class ids, positives
+    guaranteed included while num_sample >= unique positives;
+    new_labels (B,) int32 — each label's position within idx).
+    """
+    scores = jax.random.uniform(rng, (num_classes,))
+    scores = scores.at[labels].add(2.0)           # positives outrank all
+    _, idx = jax.lax.top_k(scores, num_sample)
+    idx = idx.astype(jnp.int32)
+    # remap labels onto sampled positions: (B, S) match matrix is tiny
+    match = idx[None, :] == labels[:, None]
+    new_labels = jnp.argmax(match, axis=1).astype(jnp.int32)
+    return idx, new_labels
+
+
 class TrainState(NamedTuple):
     backbone: Any          # {'params': ..., 'batch_stats': ...}
     head_w: jnp.ndarray    # (D, C), sharded P(None, 'model')
@@ -63,6 +91,10 @@ class ArcFaceTrainer:
     learning_rate: float = 0.02
     weight_decay: float = 5e-4
     emb_dim: int = 512
+    # Partial FC (arXiv:2010.05222): fraction of classes in each step's
+    # softmax. 1.0 = full softmax; w600k-scale training uses 0.1-0.3.
+    sample_rate: float = 1.0
+    seed: int = 0
 
     def __post_init__(self):
         self.optimizer = optax.chain(
@@ -70,6 +102,12 @@ class ArcFaceTrainer:
             optax.add_decayed_weights(self.weight_decay),
             optax.sgd(self.learning_rate, momentum=0.9),
         )
+        if not 0.0 < self.sample_rate <= 1.0:
+            raise ValueError(f"sample_rate must be in (0, 1], got "
+                             f"{self.sample_rate}")
+        # static sampled-class count (jit requires a fixed shape)
+        self.num_sample = max(1, int(round(self.sample_rate
+                                           * self.num_classes)))
         self._jit_step = None
 
     # ------------------------------------------------------------- setup
@@ -108,7 +146,7 @@ class ArcFaceTrainer:
 
     # -------------------------------------------------------------- step
 
-    def _loss_fn(self, params, batch_stats, images, labels):
+    def _loss_fn(self, params, batch_stats, images, labels, step):
         variables = {"params": params["backbone"]}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -120,18 +158,34 @@ class ArcFaceTrainer:
             new_stats = batch_stats
         emb = jax.lax.with_sharding_constraint(
             emb, NamedSharding(self.mesh, P("data", None)))
-        logits = arcface_margin_logits(emb, params["head_w"], labels,
-                                       self.scale, self.margin)
-        logits = jax.lax.with_sharding_constraint(
-            logits, NamedSharding(self.mesh, P("data", "model")))
-        loss = jnp.mean(softmax_xent(logits, labels))
+        if self.num_sample < self.num_classes:
+            # Partial FC: softmax over positives + sampled negatives only.
+            # idx is replicated; the column gather on the 'model'-sharded W
+            # lowers to an all-gather of just the sampled columns, and the
+            # logits shrink from (B, C) to (B, S).
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
+            idx, new_labels = partial_fc_sample(
+                labels, self.num_classes, self.num_sample, rng)
+            logits = arcface_margin_logits(
+                emb, params["head_w"][:, idx], new_labels,
+                self.scale, self.margin)
+            logits = jax.lax.with_sharding_constraint(
+                logits, NamedSharding(self.mesh, P("data", None)))
+            loss = jnp.mean(softmax_xent(logits, new_labels))
+        else:
+            logits = arcface_margin_logits(emb, params["head_w"], labels,
+                                           self.scale, self.margin)
+            logits = jax.lax.with_sharding_constraint(
+                logits, NamedSharding(self.mesh, P("data", "model")))
+            loss = jnp.mean(softmax_xent(logits, labels))
         return loss, new_stats
 
     def _step(self, state: TrainState, images, labels):
         params = {"backbone": state.backbone["params"], "head_w": state.head_w}
         (loss, new_stats), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(
-                params, state.backbone.get("batch_stats", {}), images, labels)
+                params, state.backbone.get("batch_stats", {}), images, labels,
+                state.step)
         updates, opt_state = self.optimizer.update(grads, state.opt_state, params)
         params = optax.apply_updates(params, updates)
         new_state = TrainState(

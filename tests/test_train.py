@@ -95,6 +95,75 @@ def test_head_w_is_class_sharded():
     assert state.head_w.sharding.spec == P(None, "model")
 
 
+def test_partial_fc_sample_includes_positives_static_shape():
+    from scrfd_arcface_facerecognition_tpu.train import partial_fc_sample
+
+    rng = np.random.default_rng(4)
+    labels = jnp.asarray(rng.integers(0, 1000, size=32).astype(np.int32))
+    idx, new_labels = jax.jit(
+        lambda l, k: partial_fc_sample(l, 1000, 128, k))(
+            labels, jax.random.PRNGKey(0))
+    assert idx.shape == (128,) and new_labels.shape == (32,)
+    idx_np, nl_np, l_np = (np.asarray(idx), np.asarray(new_labels),
+                           np.asarray(labels))
+    # every positive class is in the sample, and the remap points at it
+    for i, y in enumerate(l_np):
+        assert y in idx_np
+        assert idx_np[nl_np[i]] == y
+    # sampled ids are distinct classes
+    assert len(np.unique(idx_np)) == 128
+
+
+def test_partial_fc_full_rate_loss_matches_full_softmax():
+    """sample_rate=1.0 via the sampled path == full softmax (permutation
+    invariance of softmax): losses agree to float tolerance."""
+    from scrfd_arcface_facerecognition_tpu.train import (
+        arcface_margin_logits, partial_fc_sample, softmax_xent)
+
+    rng = np.random.default_rng(5)
+    emb = jnp.asarray(rng.normal(size=(6, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, 20)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 20, size=6).astype(np.int32))
+
+    full = softmax_xent(arcface_margin_logits(emb, w, labels), labels)
+    idx, new_labels = partial_fc_sample(labels, 20, 20, jax.random.PRNGKey(1))
+    samp = softmax_xent(
+        arcface_margin_logits(emb, w[:, idx], new_labels), new_labels)
+    np.testing.assert_allclose(np.asarray(samp), np.asarray(full), atol=1e-4)
+
+
+def test_partial_fc_train_step_runs_and_learns():
+    mesh = make_mesh((2, 4), ("data", "model"))
+    cfg = ArcFaceConfig(name="tiny", arch="mobilefacenet",
+                        mbf_blocks=(1, 1, 1, 1), mbf_scale=1, emb_dim=64)
+    trainer = ArcFaceTrainer(model=MobileFaceNet(cfg), num_classes=64,
+                             mesh=mesh, emb_dim=64, learning_rate=0.1,
+                             sample_rate=0.25)
+    assert trainer.num_sample == 16
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(rng.normal(size=(8, 112, 112, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 64, size=8).astype(np.int32))
+    losses = []
+    for _ in range(5):
+        state, loss = trainer.train_step(state, images, labels)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+
+
+def test_partial_fc_rejects_bad_rate():
+    import pytest
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    cfg = ArcFaceConfig(name="tiny", arch="mobilefacenet",
+                        mbf_blocks=(1, 1, 1, 1), mbf_scale=1, emb_dim=64)
+    with pytest.raises(ValueError):
+        ArcFaceTrainer(model=MobileFaceNet(cfg), num_classes=64, mesh=mesh,
+                       emb_dim=64, sample_rate=0.0)
+
+
 def test_checkpoint_save_restore(tmp_path):
     mesh = make_mesh((2, 4), ("data", "model"))
     trainer = _tiny_trainer(mesh)
