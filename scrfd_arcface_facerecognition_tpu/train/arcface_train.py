@@ -71,7 +71,8 @@ def partial_fc_sample(labels: jnp.ndarray, num_classes: int,
 
 class TrainState(NamedTuple):
     backbone: Any          # {'params': ..., 'batch_stats': ...}
-    head_w: jnp.ndarray    # (D, C), sharded P(None, 'model')
+    head_w: jnp.ndarray    # (D, padded_classes), sharded P(None, 'model');
+                           # columns >= num_classes are masked dummy pads
     opt_state: Any
     step: jnp.ndarray
 
@@ -108,6 +109,13 @@ class ArcFaceTrainer:
         # static sampled-class count (jit requires a fixed shape)
         self.num_sample = max(1, int(round(self.sample_rate
                                            * self.num_classes)))
+        # The class matrix shards over 'model', so its column count must be
+        # a mesh multiple: pad with dummy classes that are masked out of the
+        # full softmax and never sampled by Partial FC (labels never point
+        # at them, so they take no gradient; weight decay on the frozen pad
+        # columns is harmless).
+        tp = self.mesh.shape.get("model", 1)
+        self.padded_classes = -(-self.num_classes // tp) * tp
         self._jit_step = None
 
     # ------------------------------------------------------------- setup
@@ -116,7 +124,7 @@ class ArcFaceTrainer:
                    input_hw: Tuple[int, int] = (112, 112)) -> TrainState:
         r1, r2 = jax.random.split(rng)
         variables = self.model.init(r1, jnp.zeros((1, *input_hw, 3)), train=False)
-        head_w = jax.random.normal(r2, (self.emb_dim, self.num_classes),
+        head_w = jax.random.normal(r2, (self.emb_dim, self.padded_classes),
                                    jnp.float32) * 0.01
         params = {"backbone": variables["params"], "head_w": head_w}
         opt_state = self.optimizer.init(params)
@@ -134,7 +142,7 @@ class ArcFaceTrainer:
 
         def put_w(x):
             return jax.device_put(x, wsh) if (
-                hasattr(x, "shape") and x.shape == (self.emb_dim, self.num_classes)
+                hasattr(x, "shape") and x.shape == (self.emb_dim, self.padded_classes)
             ) else jax.device_put(x, rep)
 
         return TrainState(
@@ -175,6 +183,10 @@ class ArcFaceTrainer:
         else:
             logits = arcface_margin_logits(emb, params["head_w"], labels,
                                            self.scale, self.margin)
+            if self.padded_classes > self.num_classes:
+                col = jnp.arange(self.padded_classes)
+                logits = jnp.where(col[None, :] < self.num_classes,
+                                   logits, -1e9)
             logits = jax.lax.with_sharding_constraint(
                 logits, NamedSharding(self.mesh, P("data", "model")))
             loss = jnp.mean(softmax_xent(logits, labels))

@@ -153,6 +153,34 @@ def test_partial_fc_train_step_runs_and_learns():
     assert int(state.step) == 5
 
 
+def test_class_count_not_divisible_by_model_axis():
+    """num_classes that doesn't divide the 'model' axis pads the class
+    matrix to a mesh multiple; pad columns are masked and never win."""
+    mesh = make_mesh((2, 4), ("data", "model"))
+    cfg = ArcFaceConfig(name="tiny", arch="mobilefacenet",
+                        mbf_blocks=(1, 1, 1, 1), mbf_scale=1, emb_dim=64)
+    trainer = ArcFaceTrainer(model=MobileFaceNet(cfg), num_classes=3,
+                             mesh=mesh, emb_dim=64, learning_rate=0.1)
+    assert trainer.padded_classes == 4
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    assert state.head_w.shape == (64, 4)
+    rng = np.random.default_rng(8)
+    images = jnp.asarray(rng.normal(size=(8, 112, 112, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 3, size=8).astype(np.int32))
+    w_before = np.asarray(state.head_w)[:, 3].copy()
+    losses = []
+    for _ in range(3):
+        state, loss = trainer.train_step(state, images, labels)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # the pad column only moves by weight decay (no gradient through it):
+    # decay shrinks toward zero, so direction is preserved
+    w_after = np.asarray(state.head_w)[:, 3]
+    cos = (w_before @ w_after /
+           (np.linalg.norm(w_before) * np.linalg.norm(w_after)))
+    assert cos > 0.999
+
+
 def test_partial_fc_rejects_bad_rate():
     import pytest
 
