@@ -96,6 +96,10 @@ class ArcFaceTrainer:
     # softmax. 1.0 = full softmax; w600k-scale training uses 0.1-0.3.
     sample_rate: float = 1.0
     seed: int = 0
+    # Rematerialize backbone activations in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward of FLOPs for O(depth)
+    # activation memory — how r50 trains at large batch on one chip's HBM.
+    remat: bool = False
 
     def __post_init__(self):
         self.optimizer = optax.chain(
@@ -155,15 +159,18 @@ class ArcFaceTrainer:
     # -------------------------------------------------------------- step
 
     def _loss_fn(self, params, batch_stats, images, labels, step):
-        variables = {"params": params["backbone"]}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-            emb, mutated = self.model.apply(
-                variables, images, train=True, mutable=["batch_stats"])
-            new_stats = mutated["batch_stats"]
-        else:
-            emb = self.model.apply(variables, images, train=True)
-            new_stats = batch_stats
+        def fwd(backbone_params, imgs):
+            variables = {"params": backbone_params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                return self.model.apply(variables, imgs, train=True,
+                                        mutable=["batch_stats"])
+            return self.model.apply(variables, imgs, train=True), {}
+
+        if self.remat:
+            fwd = jax.checkpoint(fwd)
+        emb, mutated = fwd(params["backbone"], images)
+        new_stats = (mutated["batch_stats"] if batch_stats else batch_stats)
         emb = jax.lax.with_sharding_constraint(
             emb, NamedSharding(self.mesh, P("data", None)))
         if self.num_sample < self.num_classes:

@@ -181,6 +181,28 @@ def test_class_count_not_divisible_by_model_axis():
     assert cos > 0.999
 
 
+def test_remat_is_numerics_preserving():
+    """remat=True recomputes activations instead of storing them; the
+    update it produces must be identical (same loss, same head weights)."""
+    mesh = make_mesh((2, 4), ("data", "model"))
+    cfg = ArcFaceConfig(name="tiny", arch="mobilefacenet",
+                        mbf_blocks=(1, 1, 1, 1), mbf_scale=1, emb_dim=64)
+    rng = np.random.default_rng(9)
+    images = jnp.asarray(rng.normal(size=(8, 112, 112, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 16, size=8).astype(np.int32))
+    losses, heads = [], []
+    for remat in (False, True):
+        trainer = ArcFaceTrainer(model=MobileFaceNet(cfg), num_classes=16,
+                                 mesh=mesh, emb_dim=64, learning_rate=0.1,
+                                 remat=remat)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, loss = trainer.train_step(state, images, labels)
+        losses.append(float(loss))
+        heads.append(np.asarray(state.head_w))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    np.testing.assert_allclose(heads[0], heads[1], atol=1e-6)
+
+
 def test_partial_fc_rejects_bad_rate():
     import pytest
 
