@@ -25,6 +25,7 @@ from .scrfd_train import (
     SCRFDTrainer, SCRFDTrainState, SCRFDLossConfig, scrfd_loss, atss_assign,
     diou_loss, quality_focal_loss, pairwise_iou, synthetic_detection_batch,
 )
+from .schedules import make_lr_schedule
 from .detection_data import (
     Annotation, parse_wider_annotations, batches_from_annotations,
     letterbox_example, average_precision, evaluate_detector,
@@ -37,4 +38,4 @@ __all__ = ["ArcFaceTrainer", "TrainState", "arcface_margin_logits",
            "quality_focal_loss", "pairwise_iou", "synthetic_detection_batch",
            "Annotation", "parse_wider_annotations",
            "batches_from_annotations", "letterbox_example",
-           "average_precision", "evaluate_detector"]
+           "average_precision", "evaluate_detector", "make_lr_schedule"]

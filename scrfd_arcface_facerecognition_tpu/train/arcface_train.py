@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -100,12 +100,22 @@ class ArcFaceTrainer:
     # (jax.checkpoint): trades ~1 extra forward of FLOPs for O(depth)
     # activation memory — how r50 trains at large batch on one chip's HBM.
     remat: bool = False
+    # LR annealing (arcface_torch trains w600k with linear warmup + poly
+    # decay): warmup_steps ramps 0 -> learning_rate; decay_steps anneals to
+    # ~0 afterwards ("poly" power 2 or "cosine"). Defaults keep a constant LR.
+    warmup_steps: int = 0
+    decay_steps: Optional[int] = None
+    lr_decay: str = "poly"
 
     def __post_init__(self):
+        from .schedules import make_lr_schedule
+
+        lr = make_lr_schedule(self.learning_rate, self.warmup_steps,
+                              self.decay_steps, self.lr_decay)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(5.0),
             optax.add_decayed_weights(self.weight_decay),
-            optax.sgd(self.learning_rate, momentum=0.9),
+            optax.sgd(lr, momentum=0.9),
         )
         if not 0.0 < self.sample_rate <= 1.0:
             raise ValueError(f"sample_rate must be in (0, 1], got "

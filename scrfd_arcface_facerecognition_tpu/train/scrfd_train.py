@@ -282,12 +282,22 @@ class SCRFDTrainer:
     learning_rate: float = 0.01
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    # LR annealing (the SCRFD/mmdetection recipe warms up then decays):
+    # warmup_steps ramps 0 -> learning_rate; decay_steps anneals to ~0
+    # afterwards ("poly" or "cosine"). Defaults keep a constant LR.
+    warmup_steps: int = 0
+    decay_steps: Optional[int] = None
+    lr_decay: str = "cosine"
 
     def __post_init__(self):
+        from .schedules import make_lr_schedule
+
+        lr = make_lr_schedule(self.learning_rate, self.warmup_steps,
+                              self.decay_steps, self.lr_decay)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(5.0),
             optax.add_decayed_weights(self.weight_decay),
-            optax.sgd(self.learning_rate, momentum=self.momentum),
+            optax.sgd(lr, momentum=self.momentum),
         )
         self._jit_step = None
 

@@ -203,6 +203,56 @@ def test_remat_is_numerics_preserving():
     np.testing.assert_allclose(heads[0], heads[1], atol=1e-6)
 
 
+def test_lr_schedule_shapes():
+    from scrfd_arcface_facerecognition_tpu.train import make_lr_schedule
+
+    # no annealing requested -> plain float passthrough
+    assert make_lr_schedule(0.02) == 0.02
+    # warmup ramp then constant
+    s = make_lr_schedule(0.1, warmup_steps=10)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(5)) - 0.05) < 1e-6
+    assert abs(float(s(10)) - 0.1) < 1e-6
+    assert abs(float(s(1000)) - 0.1) < 1e-6
+    # warmup + poly decay to 0
+    s = make_lr_schedule(0.1, warmup_steps=10, decay_steps=90, decay="poly")
+    assert abs(float(s(10)) - 0.1) < 1e-6
+    assert float(s(55)) < 0.1
+    assert float(s(100)) < 1e-6
+    # cosine decay without warmup
+    s = make_lr_schedule(0.1, decay_steps=100, decay="cosine")
+    assert abs(float(s(0)) - 0.1) < 1e-6
+    assert float(s(100)) < 1e-6
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_lr_schedule(0.1, decay_steps=10, decay="step")
+
+
+def test_trainer_warmup_scales_first_update():
+    """With warmup, step-1 LR is learning_rate/warmup_steps, so the head
+    moves proportionally less than the constant-LR trainer's step 1."""
+    mesh = make_mesh((2, 4), ("data", "model"))
+    cfg = ArcFaceConfig(name="tiny", arch="mobilefacenet",
+                        mbf_blocks=(1, 1, 1, 1), mbf_scale=1, emb_dim=64)
+    rng = np.random.default_rng(10)
+    images = jnp.asarray(rng.normal(size=(8, 112, 112, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 16, size=8).astype(np.int32))
+    deltas = {}
+    for warmup in (0, 10):
+        trainer = ArcFaceTrainer(model=MobileFaceNet(cfg), num_classes=16,
+                                 mesh=mesh, emb_dim=64, learning_rate=0.1,
+                                 warmup_steps=warmup)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        w0 = np.asarray(state.head_w)
+        state, _ = trainer.train_step(state, images, labels)
+        deltas[warmup] = np.linalg.norm(np.asarray(state.head_w) - w0)
+    # optax evaluates the schedule at count=0 for the first update, and
+    # sgd(lr) scales the whole chained update (decay included) by it — so
+    # the warmed-up first step moves the head by exactly zero
+    assert deltas[10] < 0.2 * deltas[0]
+
+
 def test_partial_fc_rejects_bad_rate():
     import pytest
 

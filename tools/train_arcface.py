@@ -80,6 +80,13 @@ def main():
     ap.add_argument("--scale", type=float, default=64.0)
     ap.add_argument("--sample-rate", type=float, default=1.0,
                     help="Partial FC class-sampling rate (1.0 = full softmax)")
+    ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--decay-steps", type=int, default=None,
+                    help="anneal LR to ~0 over this many post-warmup steps")
+    ap.add_argument("--lr-decay", type=str, default="poly",
+                    choices=["poly", "cosine"])
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize backbone activations (less HBM)")
     ap.add_argument("--model-shards", type=int, default=1,
                     help="'model' mesh-axis size for the class matrix; "
                          "devices/model-shards becomes the 'data' axis")
@@ -114,7 +121,10 @@ def main():
     trainer = ArcFaceTrainer(model=model, num_classes=num_classes, mesh=mesh,
                              margin=args.margin, scale=args.scale,
                              learning_rate=args.lr,
-                             sample_rate=args.sample_rate)
+                             sample_rate=args.sample_rate,
+                             warmup_steps=args.warmup_steps,
+                             decay_steps=args.decay_steps,
+                             lr_decay=args.lr_decay, remat=args.remat)
     state = trainer.init_state(jax.random.PRNGKey(0))
     print(f"devices={n_dev} mesh=data:{dp}xmodel:{tp} variant={args.variant} "
           f"classes={num_classes} sample={trainer.num_sample}"

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--decay-steps", type=int, default=None,
+                    help="anneal LR to ~0 over this many post-warmup steps")
+    ap.add_argument("--lr-decay", type=str, default="cosine",
+                    choices=["poly", "cosine"])
     ap.add_argument("--max-gt", type=int, default=32)
     ap.add_argument("--out", type=str, default="scrfd_ckpt")
     ap.add_argument("--synthetic", type=int, default=0,
@@ -54,7 +59,10 @@ def main():
     model = build_scrfd(args.variant)
     trainer = SCRFDTrainer(model=model, mesh=mesh,
                            loss_cfg=SCRFDLossConfig(input_size=size),
-                           learning_rate=args.lr)
+                           learning_rate=args.lr,
+                           warmup_steps=args.warmup_steps,
+                           decay_steps=args.decay_steps,
+                           lr_decay=args.lr_decay)
     state = trainer.init_state(jax.random.PRNGKey(0))
     print(f"devices={n_dev} variant={args.variant} input={size}")
 
