@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -309,6 +310,61 @@ class PQGallery:
         self._ids[rows] = -1
         self._free.extend(int(r) for r in rows)
         return True
+
+    # ------------------------------------------------------- persistence
+
+    def snapshot(self, path: str) -> None:
+        """Atomic PQ-tier checkpoint: codebooks + codes + ids (+ the exact
+        rerank rows when keep_exact).
+
+        At the 1M-identity scale a restart must not re-train codebooks or
+        re-encode embeddings (the encode alone is minutes of device time
+        the snapshot makes redundant). The npz container checksums every
+        member (zip CRC32), and the tmp-write + os.replace makes the file
+        appear atomically — the same guarantees as the dense store's
+        native CRC snapshot (store.py snapshot/restore)."""
+        valid_rows = np.nonzero(self._ids >= 0)[0]
+        arrays = dict(
+            centroids=np.asarray(self.codec.centroids, np.float32),
+            codes=np.asarray(self._codes)[valid_rows],
+            ids=self._ids[valid_rows],
+            capacity=np.int64(self.capacity))
+        if self._exact is not None:
+            arrays["exact"] = self._exact[valid_rows]
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+
+    @classmethod
+    def restore(cls, path: str, mesh: Optional[Mesh] = None,
+                axis: str = "model", adc_impl: str = "auto",
+                capacity: Optional[int] = None) -> "PQGallery":
+        """Rebuild a gallery from snapshot(); codes load directly (no
+        re-encode). mesh/axis/adc_impl are runtime choices, not snapshot
+        properties — a snapshot taken unsharded restores onto a mesh and
+        vice versa (capacity re-rounds to the new mesh)."""
+        with np.load(path) as z:
+            centroids = z["centroids"]
+            codes = z["codes"]
+            ids = z["ids"].astype(np.int64)
+            cap = int(capacity if capacity is not None else z["capacity"])
+            exact = z["exact"] if "exact" in z.files else None
+        n = len(ids)
+        g = cls(PQCodec(jnp.asarray(centroids)), capacity=max(cap, n, 1),
+                mesh=mesh, axis=axis, keep_exact=exact is not None,
+                adc_impl=adc_impl)
+        if n:
+            # rows 0..n-1 in one contiguous device write
+            g._codes = jax.lax.dynamic_update_slice(
+                g._codes, jnp.asarray(codes), (0, 0))
+            g._valid = jax.lax.dynamic_update_slice(
+                g._valid, jnp.ones(n, bool), (0,))
+            g._ids[:n] = ids
+            g._free = list(range(g.capacity - 1, n - 1, -1))
+            if exact is not None:
+                g._exact[:n] = exact
+        return g
 
     def search(self, queries, k: int = 5,
                rerank: int = 0) -> Tuple[np.ndarray, np.ndarray]:

@@ -169,3 +169,46 @@ def test_pq_gallery_mxu_search_matches_scan():
     sb, ib = b.search(q, k=5)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(sa, sb, atol=5e-2)
+
+
+def test_pq_snapshot_restore_round_trip(codec_and_corpus, tmp_path):
+    """snapshot/restore preserves codes, ids, and exact-rerank rows —
+    search results are identical without any re-encode."""
+    codec, ids_mat, corpus = codec_and_corpus
+    g = PQGallery(codec, capacity=256, keep_exact=True)
+    ids = np.arange(100)
+    g.add(ids, corpus[:100])
+    g.delete(17)           # a hole: restore must keep ids/rows aligned
+    path = str(tmp_path / "pq.npz")
+    g.snapshot(path)
+
+    r = PQGallery.restore(path)
+    assert len(r) == len(g) == 99
+    q = corpus[3:6]
+    s0, i0 = g.search(q, k=5, rerank=20)
+    s1, i1 = r.search(q, k=5, rerank=20)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, atol=1e-6)
+    # adds continue after restore (free-list rebuilt)
+    assert r.add(np.asarray([999]), corpus[200:201]) is None
+    assert len(r) == 100
+
+
+def test_pq_snapshot_restores_onto_mesh(codec_and_corpus, tmp_path):
+    """A snapshot taken unsharded restores onto an 8-device mesh (capacity
+    re-rounds) with identical search results."""
+    codec, _, corpus = codec_and_corpus
+    g = PQGallery(codec, capacity=100)   # not a mesh multiple
+    ids = np.arange(60)
+    g.add(ids, corpus[:60])
+    path = str(tmp_path / "pq_mesh.npz")
+    g.snapshot(path)
+
+    mesh = make_mesh((8,), ("model",))
+    r = PQGallery.restore(path, mesh=mesh)
+    assert r.capacity % 8 == 0
+    q = corpus[10:12]
+    s0, i0 = g.search(q, k=4)
+    s1, i1 = r.search(q, k=4)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, atol=1e-4)
