@@ -1,5 +1,6 @@
 """ArcFace training: margin-loss math + sharded DP x TP train step."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -132,6 +133,7 @@ def test_partial_fc_full_rate_loss_matches_full_softmax():
     np.testing.assert_allclose(np.asarray(samp), np.asarray(full), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_partial_fc_train_step_runs_and_learns():
     mesh = make_mesh((2, 4), ("data", "model"))
     cfg = ArcFaceConfig(name="tiny", arch="mobilefacenet",
@@ -153,6 +155,7 @@ def test_partial_fc_train_step_runs_and_learns():
     assert int(state.step) == 5
 
 
+@pytest.mark.slow
 def test_class_count_not_divisible_by_model_axis():
     """num_classes that doesn't divide the 'model' axis pads the class
     matrix to a mesh multiple; pad columns are masked and never win."""
@@ -181,6 +184,7 @@ def test_class_count_not_divisible_by_model_axis():
     assert cos > 0.999
 
 
+@pytest.mark.slow
 def test_remat_is_numerics_preserving():
     """remat=True recomputes activations instead of storing them; the
     update it produces must be identical (same loss, same head weights)."""
@@ -229,6 +233,7 @@ def test_lr_schedule_shapes():
         make_lr_schedule(0.1, decay_steps=10, decay="step")
 
 
+@pytest.mark.slow
 def test_trainer_warmup_scales_first_update():
     """With warmup, step-1 LR is learning_rate/warmup_steps, so the head
     moves proportionally less than the constant-LR trainer's step 1."""
