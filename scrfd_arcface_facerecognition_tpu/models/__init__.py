@@ -11,9 +11,11 @@ from .arcface import (
     ArcFaceConfig, IResNet, MobileFaceNet, ARCFACE_CONFIGS, build_arcface,
 )
 from .scrfd import SCRFDConfig, SCRFDNet, SCRFD_CONFIGS, build_scrfd
+from .checkpoints import load_inference_variables
 
 __all__ = [
     "PReLU", "ConvBN", "conv_kernel_init",
     "ArcFaceConfig", "IResNet", "MobileFaceNet", "ARCFACE_CONFIGS", "build_arcface",
     "SCRFDConfig", "SCRFDNet", "SCRFD_CONFIGS", "build_scrfd",
+    "load_inference_variables",
 ]

@@ -269,6 +269,51 @@ def test_partial_fc_rejects_bad_rate():
                        emb_dim=64, sample_rate=0.0)
 
 
+@pytest.mark.slow
+def test_trained_checkpoint_loads_into_inference(tmp_path):
+    """Train->serve loop: both checkpoint layouts (raw variables from
+    tools/train_scrfd.py, full ArcFace TrainState) load via
+    load_inference_variables and apply in inference mode."""
+    import orbax.checkpoint as ocp
+
+    from scrfd_arcface_facerecognition_tpu.models import (
+        load_inference_variables)
+    from scrfd_arcface_facerecognition_tpu.models.scrfd import (
+        SCRFDConfig, SCRFDNet)
+
+    # raw variables layout (SCRFD CLI)
+    det = SCRFDNet(SCRFDConfig("tiny_det", 8, (1, 1, 1, 1), (8, 8, 16, 16),
+                               neck_filters=8, head_stacks=1,
+                               head_filters=16))
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    raw = {"params": dv["params"],
+           "batch_stats": dv.get("batch_stats", {})}
+    p1 = str(tmp_path / "det_ck")
+    with ocp.PyTreeCheckpointer() as ckpt:
+        ckpt.save(p1, jax.tree.map(np.asarray, raw))
+    loaded = load_inference_variables(p1)
+    out = det.apply(loaded, jnp.zeros((1, 64, 64, 3)))
+    assert set(out) == {"scores", "bboxes", "kps"} and len(out["scores"]) == 3
+
+    # TrainState layout (ArcFaceTrainer.save_checkpoint)
+    mesh = make_mesh((2, 4), ("data", "model"))
+    trainer = _tiny_trainer(mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    p2 = str(tmp_path / "arc_ck")
+    trainer.save_checkpoint(state, p2)
+    loaded2 = load_inference_variables(p2)
+    emb = trainer.model.apply(loaded2, jnp.zeros((1, 112, 112, 3)),
+                              train=False)
+    assert emb.shape == (1, 64)
+
+    # a non-variables tree is rejected loudly
+    p3 = str(tmp_path / "junk")
+    with ocp.PyTreeCheckpointer() as ckpt:
+        ckpt.save(p3, {"weights": np.zeros(3)})
+    with pytest.raises(ValueError):
+        load_inference_variables(p3)
+
+
 def test_checkpoint_save_restore(tmp_path):
     mesh = make_mesh((2, 4), ("data", "model"))
     trainer = _tiny_trainer(mesh)
