@@ -212,7 +212,7 @@ async function renderTab() {
         <br><button onclick="runComparisons()">Run comparisons</button>
         <div id="cmpout"></div>`;
     }
-  } catch (e) { el.innerHTML = 'Error: ' + e.message; }
+  } catch (e) { el.textContent = 'Error: ' + e.message; }
 }
 
 // Person drill-down: click a row -> GET /api/person/{id} -> visit detail
@@ -245,7 +245,7 @@ async function showPerson(id) {
         : '<p>No visits recorded.</p>') +
       `</div>`;
     loadThumbs(el);
-  } catch (e) { el.innerHTML = 'Error: ' + e.message; }
+  } catch (e) { el.textContent = 'Error: ' + e.message; }
 }
 
 // thumbnails: hydrate <img data-path> via /api/image-base64 (the
@@ -342,7 +342,7 @@ async function runComparisons() {
         '<th>eventId</th><th>API approve</th><th>our match</th>' +
         '<th>confidence</th><th>agree</th><th>error</th></tr>' +
         rows + '</table>' : '');
-  } catch (e) { $('cmpout').innerHTML = 'Failed: ' + e.message; }
+  } catch (e) { $('cmpout').textContent = 'Failed: ' + e.message; }
 }
 
 // API configuration panel (the reference UI's api-input-form:
@@ -353,8 +353,11 @@ function toggleApiConfig() {
   el.style.display = el.style.display === 'none' ? 'block' : 'none';
 }
 function apiStatus(msg, ok=true) {
+  // msg can embed text from the user-configured EXTERNAL API (statusText,
+  // error bodies) — escape it like status() does, or a hostile endpoint
+  // injects markup into a page whose localStorage holds the API creds.
   $('apistatus').innerHTML =
-    `<span class="pill ${ok ? 'ok' : 'bad'}">${msg}</span>`;
+    `<span class="pill ${ok ? 'ok' : 'bad'}">${esc(msg)}</span>`;
 }
 function apiConfigBody() {
   return {
@@ -442,9 +445,10 @@ async function mergeDuplicates() {
     const r = await api('/api/merge-duplicates', {method:'POST',
       headers:{'Content-Type':'application/json'},
       body: JSON.stringify({threshold: parseFloat($('mergeth').value)})});
-    // merge summary: which persons were folded into which
+    // merge summary: which persons were folded into which (plain text —
+    // status() escapes once; pre-escaping here double-rendered entities)
     const detail = (r.pairs ?? []).map(p =>
-      `${esc(p.name || 'person')} #${esc(p.merged)} &rarr; #${esc(p.kept)}`).join(', ');
+      `${p.name || 'person'} #${p.merged} -> #${p.kept}`).join(', ');
     status(r.message + (detail ? ' — ' + detail : ''));
     loadStats(); renderTab();
   } catch (e) { status('Failed: ' + e.message, false); }

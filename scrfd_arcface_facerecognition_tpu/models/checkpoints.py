@@ -11,6 +11,11 @@ the `variables` argument the inference wrappers take:
 
 (The ArcFace class head `head_w` is a training-only object — inference
 uses the 512-d embedding, never class logits — so it is dropped here.)
+
+Stem layouts reconcile automatically: training builds the plain (3,3,3,C)
+stride-2 stem while the serving Detector defaults to the space-to-depth
+stem — Detector converts the checkpoint's stem kernel on construction
+(models/scrfd.py adapt_stem_variables, exact equivalence).
 """
 from __future__ import annotations
 

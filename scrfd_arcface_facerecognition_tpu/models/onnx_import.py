@@ -357,8 +357,17 @@ def import_into_variables(variables: Dict[str, Any], graph: OnnxGraph,
                 # bias-free model conv (ConvBN unit): pair with the graph
                 # conv's attached BN, or synthesize the identity BN that
                 # carries a folded conv's bias
-                pending_bn = src.get("bn") or identity_bn(
-                    kernel.shape[-1], src.get("bias"))
+                pending_bn = src.get("bn")
+                if pending_bn is not None and src.get("bias") is not None:
+                    # unfused Conv(bias) -> BN: BN(conv + b) == BN with
+                    # running mean shifted by -b — fold it, never drop it
+                    pending_bn = dict(pending_bn)
+                    pending_bn["mean"] = (
+                        np.asarray(pending_bn["mean"], np.float32)
+                        - np.asarray(src["bias"], np.float32).reshape(-1))
+                if pending_bn is None:
+                    pending_bn = identity_bn(kernel.shape[-1],
+                                             src.get("bias"))
                 pending_real = "bn" in src
         elif "kernel" in leaves and leaves["kernel"].ndim == 2:    # dense
             if gemm_i >= len(ex.gemms):
@@ -389,8 +398,16 @@ def import_into_variables(variables: Dict[str, Any], graph: OnnxGraph,
                 pending_bn = src.get("bn")
                 pending_real = pending_bn is not None
             else:
-                pending_bn = src.get("bn") or identity_bn(
-                    kernel.shape[-1], src.get("bias"))
+                pending_bn = src.get("bn")
+                if pending_bn is not None and src.get("bias") is not None:
+                    # Gemm(bias) -> BN: same mean -= bias fold as convs
+                    pending_bn = dict(pending_bn)
+                    pending_bn["mean"] = (
+                        np.asarray(pending_bn["mean"], np.float32)
+                        - np.asarray(src["bias"], np.float32).reshape(-1))
+                if pending_bn is None:
+                    pending_bn = identity_bn(kernel.shape[-1],
+                                             src.get("bias"))
                 pending_real = "bn" in src
         elif "alpha" in leaves:                                    # prelu
             if prelu_i >= len(ex.prelus):

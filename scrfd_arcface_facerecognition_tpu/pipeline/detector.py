@@ -236,6 +236,13 @@ class Detector:
 
                 variables = cpu_init(self.model, seed,
                                      (1, *self.input_size, 3))
+            else:
+                # Trained checkpoints carry the plain (3,3,3,C) stem
+                # (training builds s2d_stem=False); convert to the serving
+                # model's s2d layout when they differ (exact equivalence).
+                from ..models.scrfd import adapt_stem_variables
+
+                variables = adapt_stem_variables(variables, s2d_stem)
         self.variables = variables
         self._jitted = {}
 

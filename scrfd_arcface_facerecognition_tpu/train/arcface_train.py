@@ -57,7 +57,13 @@ def partial_fc_sample(labels: jnp.ndarray, num_classes: int,
 
     Returns (idx (num_sample,) int32 — sampled class ids, positives
     guaranteed included while num_sample >= unique positives;
-    new_labels (B,) int32 — each label's position within idx).
+    new_labels (B,) int32 — each label's position within idx;
+    matched (B,) bool — whether the label's class made the sample. When a
+    batch carries more unique positives than num_sample the overflow rows
+    CANNOT be represented in the sampled softmax; they are flagged here so
+    the loss masks them out instead of silently training them toward
+    new_labels' argmax-of-all-False default (position 0 = some other
+    sample's identity).
     """
     scores = jax.random.uniform(rng, (num_classes,))
     scores = scores.at[labels].add(2.0)           # positives outrank all
@@ -66,7 +72,7 @@ def partial_fc_sample(labels: jnp.ndarray, num_classes: int,
     # remap labels onto sampled positions: (B, S) match matrix is tiny
     match = idx[None, :] == labels[:, None]
     new_labels = jnp.argmax(match, axis=1).astype(jnp.int32)
-    return idx, new_labels
+    return idx, new_labels, match.any(axis=1)
 
 
 class TrainState(NamedTuple):
@@ -189,14 +195,17 @@ class ArcFaceTrainer:
             # lowers to an all-gather of just the sampled columns, and the
             # logits shrink from (B, C) to (B, S).
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), step)
-            idx, new_labels = partial_fc_sample(
+            idx, new_labels, matched = partial_fc_sample(
                 labels, self.num_classes, self.num_sample, rng)
             logits = arcface_margin_logits(
                 emb, params["head_w"][:, idx], new_labels,
                 self.scale, self.margin)
             logits = jax.lax.with_sharding_constraint(
                 logits, NamedSharding(self.mesh, P("data", None)))
-            loss = jnp.mean(softmax_xent(logits, new_labels))
+            # rows whose class overflowed the sample take no gradient
+            # (possible only when unique positives > num_sample)
+            xent = softmax_xent(logits, new_labels) * matched
+            loss = xent.sum() / jnp.maximum(matched.sum(), 1)
         else:
             logits = arcface_margin_logits(emb, params["head_w"], labels,
                                            self.scale, self.margin)

@@ -160,6 +160,44 @@ def test_s2d_model_matches_normal_model():
                                        atol=2e-5, rtol=1e-4)
 
 
+def test_trained_plain_stem_checkpoint_loads_into_s2d_detector():
+    """Train->serve stem reconciliation: a plain (3,3,3,C) stem checkpoint
+    (what tools/train_scrfd.py saves — training builds s2d_stem=False)
+    loads into the serving Detector, whose default is the s2d stem, and
+    produces the plain-stem model's outputs."""
+    import pytest
+    from scrfd_arcface_facerecognition_tpu.models.scrfd import (
+        adapt_stem_variables)
+    from scrfd_arcface_facerecognition_tpu.pipeline.detector import Detector
+
+    m0 = models.build_scrfd("det_500m")
+    v0 = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    # the documented recipe: Detector(variant, variables=<trained ckpt>)
+    det = Detector("det_500m", variables=v0, input_size=(64, 64),
+                   conf_thres=0.003, pre_nms=32, max_det=4)
+    assert tuple(det.variables["params"]["backbone"]["stem1"]["conv"]
+                 ["kernel"].shape[:3]) == (2, 2, 12)
+    rng = np.random.default_rng(5)
+    frame = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+    boxes, kps = det.detect(frame)     # runs: shapes reconciled
+    det_plain = Detector("det_500m", variables=v0, input_size=(64, 64),
+                         conf_thres=0.003, pre_nms=32, max_det=4,
+                         s2d_stem=False)
+    boxes0, kps0 = det_plain.detect(frame)
+    np.testing.assert_allclose(boxes, boxes0, atol=1e-3, rtol=1e-4)
+
+    # the adapter never mutates its input (copy-on-write along the path)
+    assert tuple(v0["params"]["backbone"]["stem1"]["conv"]
+                 ["kernel"].shape[:3]) == (3, 3, 3)
+
+    # reverse direction has no inverse: fail loudly with the fix
+    v_s2d = adapt_stem_variables(v0, s2d_stem=True)
+    with pytest.raises(ValueError, match="s2d_stem=True"):
+        Detector("det_500m", variables=v_s2d, input_size=(64, 64),
+                 s2d_stem=False)
+
+
 def test_phase_split_stem_equivalent():
     """conv3x3_s1_phase_s2d == direct stride-1 3x3 conv, exactly (f32)."""
     import jax

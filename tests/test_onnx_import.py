@@ -162,6 +162,57 @@ def test_end_to_end_import_matches_onnx_semantics(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+def test_conv_bias_plus_bn_folds_into_mean(tmp_path):
+    """Unfused Conv(with bias) -> BatchNormalization loading into a
+    bias-free ConvBN module: the conv bias must fold into the BN running
+    mean (BN(conv+b) == BN' (conv) with mean-b), not silently drop."""
+    rng = np.random.default_rng(7)
+    hw = 5
+    cw = rng.normal(size=(6, 3, 3, 3)).astype(np.float32)
+    cb = rng.normal(size=6).astype(np.float32) * 3.0   # large: drop is loud
+    bn = [rng.uniform(0.5, 1.5, 6).astype(np.float32),
+          rng.normal(size=6).astype(np.float32),
+          rng.normal(scale=0.3, size=6).astype(np.float32),
+          rng.uniform(0.5, 1.5, 6).astype(np.float32)]
+    inits = {"c_w": cw, "c_b": cb, "bn_s": bn[0], "bn_b": bn[1],
+             "bn_m": bn[2], "bn_v": bn[3]}
+    nodes = [
+        encode_node("Conv", ["x", "c_w", "c_b"], ["t1"],
+                    attrs=[encode_attr_ints("pads", [1, 1, 1, 1])]),
+        encode_node("BatchNormalization",
+                    ["t1", "bn_s", "bn_b", "bn_m", "bn_v"], ["y"]),
+    ]
+    path = _write_model(tmp_path, nodes, inits, ["x"], ["y"])
+    graph = load_onnx(path)
+
+    class ConvBNNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.Conv(6, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=False, name="c1")(x)
+            return nn.BatchNorm(use_running_average=not train,
+                                epsilon=1e-5, name="b1")(x)
+
+    model = ConvBNNet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3)))
+    imported = oi.import_into_variables(
+        jax.tree.map(np.asarray, dict(variables)), graph,
+        module_order=oi.module_call_order(model, (1, hw, hw, 3)))
+
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.normal(size=(2, hw, hw, 3)).astype(np.float32)
+    t = F.conv2d(torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(cw),
+                 bias=torch.tensor(cb), padding=1)
+    t = F.batch_norm(t, torch.tensor(bn[2]), torch.tensor(bn[3]),
+                     torch.tensor(bn[0]), torch.tensor(bn[1]),
+                     training=False, eps=1e-5)
+    want = t.numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(model.apply(imported, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_import_rejects_shape_mismatch(tmp_path):
     rng = np.random.default_rng(4)
     path, _ = _tiny_onnx(tmp_path, rng, hw=6)

@@ -101,18 +101,37 @@ def test_partial_fc_sample_includes_positives_static_shape():
 
     rng = np.random.default_rng(4)
     labels = jnp.asarray(rng.integers(0, 1000, size=32).astype(np.int32))
-    idx, new_labels = jax.jit(
+    idx, new_labels, matched = jax.jit(
         lambda l, k: partial_fc_sample(l, 1000, 128, k))(
             labels, jax.random.PRNGKey(0))
     assert idx.shape == (128,) and new_labels.shape == (32,)
     idx_np, nl_np, l_np = (np.asarray(idx), np.asarray(new_labels),
                            np.asarray(labels))
+    assert np.asarray(matched).all()   # 32 positives <= 128 samples
     # every positive class is in the sample, and the remap points at it
     for i, y in enumerate(l_np):
         assert y in idx_np
         assert idx_np[nl_np[i]] == y
     # sampled ids are distinct classes
     assert len(np.unique(idx_np)) == 128
+
+
+def test_partial_fc_sample_flags_overflow_positives():
+    """More unique positives than num_sample: the overflow rows are
+    flagged unmatched (the loss masks them) instead of silently remapping
+    to position 0 — training them toward another sample's identity."""
+    from scrfd_arcface_facerecognition_tpu.train import partial_fc_sample
+
+    labels = jnp.arange(12, dtype=jnp.int32)      # 12 distinct classes
+    idx, new_labels, matched = partial_fc_sample(
+        labels, 100, 8, jax.random.PRNGKey(3))    # only 8 slots
+    m = np.asarray(matched)
+    assert m.sum() == 8                           # 8 fit, 4 overflow
+    idx_np, nl_np, l_np = (np.asarray(idx), np.asarray(new_labels),
+                           np.asarray(labels))
+    for i in range(12):
+        if m[i]:
+            assert idx_np[nl_np[i]] == l_np[i]    # matched rows map right
 
 
 def test_partial_fc_full_rate_loss_matches_full_softmax():
@@ -127,7 +146,8 @@ def test_partial_fc_full_rate_loss_matches_full_softmax():
     labels = jnp.asarray(rng.integers(0, 20, size=6).astype(np.int32))
 
     full = softmax_xent(arcface_margin_logits(emb, w, labels), labels)
-    idx, new_labels = partial_fc_sample(labels, 20, 20, jax.random.PRNGKey(1))
+    idx, new_labels, _ = partial_fc_sample(labels, 20, 20,
+                                           jax.random.PRNGKey(1))
     samp = softmax_xent(
         arcface_margin_logits(emb, w[:, idx], new_labels), new_labels)
     np.testing.assert_allclose(np.asarray(samp), np.asarray(full), atol=1e-4)

@@ -12,7 +12,12 @@ import sys
 
 
 def check_js(src: str) -> None:
-    stack = ["code"]          # 'code' | '\'' | '"' | '`' frames
+    # frames: "'" | '"' | '`' string modes, or ("code", entry) where entry
+    # is depth['{'] right after the interpolation's '${' (None for the
+    # top-level frame). An interpolation closes only when a '}' returns the
+    # brace depth below its entry — a plain stack[-2]=='`' check would pop
+    # at the FIRST '}' and misparse `${ ({a: 1}).a }`.
+    stack = [("code", None)]
     depth = {"{": 0, "(": 0, "[": 0}
     pairs = {"}": "{", ")": "(", "]": "["}
     # a '/' starts a regex literal (not division) after these tokens
@@ -25,7 +30,7 @@ def check_js(src: str) -> None:
         c = src[i]
         if c == "\n":
             line += 1
-        mode = stack[-1]
+        mode = stack[-1] if isinstance(stack[-1], str) else "code"
         if mode in ("'", '"', "`"):
             if esc:
                 esc = False
@@ -34,8 +39,8 @@ def check_js(src: str) -> None:
             elif c == mode:
                 stack.pop()
             elif mode == "`" and c == "$" and src[i + 1:i + 2] == "{":
-                stack.append("code")
                 depth["{"] += 1
+                stack.append(("code", depth["{"]))
                 prev_code = ""
                 i += 1
         else:                                   # code
@@ -76,12 +81,15 @@ def check_js(src: str) -> None:
                     if depth[pairs[c]] < 0:
                         raise AssertionError(
                             f"line {line}: unmatched '{c}'")
-                    if (c == "}" and len(stack) > 1 and stack[-2] == "`"):
+                    entry = stack[-1][1]
+                    if (c == "}" and entry is not None
+                            and depth["{"] == entry - 1):
                         stack.pop()             # close of ${} interpolation
                 if not c.isspace():
                     prev_code = (prev_code + c)[-8:]
         i += 1
-    assert stack == ["code"], f"unterminated string/template: {stack}"
+    assert stack == [("code", None)], \
+        f"unterminated string/template: {stack}"
     assert all(v == 0 for v in depth.values()), f"unbalanced: {depth}"
 
 
