@@ -132,32 +132,36 @@ def main():
                       f"warp_policy={policy}, det_10g+r50)",
             "value": round(n / dt, 2), "unit": "frames/sec/chip"})
 
-    # ---- small tier: det_500m + w600k_mbf (the reference's fast pairing,
-    # README.md:57,60) at headline conditions (worst-case face density) ----
-    small = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
-                         max_det=10, gallery_capacity=128,
-                         dtype=jnp.bfloat16, use_pallas_warp="force")
-    small.set_gallery(rng.normal(size=(128, 512)).astype(np.float32),
-                      [f"p{i}" for i in range(128)])
-    batch = 96
-    frames = jnp.asarray(rng.integers(0, 255, (batch, 1080, 1920, 3),
-                                      dtype=np.uint8))
-    out = small(frames, max_num=10)
-    _ = np.asarray(out.match_sim[0, 0])
-    t0 = time.perf_counter()
-    n = 0
-    o = None
-    for o in small.process_stream([frames] * 8, max_num=10,
-                                  depth=int(os.environ.get("BENCH_DEPTH",
-                                                           "12"))):
-        n += o.boxes.shape[0]
-    if o is not None:
-        _ = np.asarray(o.match_sim[0, 0])
-    dt = time.perf_counter() - t0
-    results.append({
-        "metric": "e2e_1080p_fps_small_tier (det_500m+w600k_mbf, "
-                  "max_num=10 all slots occupied)",
-        "value": round(n / dt, 2), "unit": "frames/sec/chip"})
+    # ---- model tiers below the headline pairing (det_10g+r50 = bench.py):
+    # small = det_500m + w600k_mbf (the reference's fast pairing,
+    # README.md:57,60), mid = det_2.5g + w600k_mbf — both at headline
+    # conditions (max_num=10, worst-case face density) ---------------------
+    for tier, det_v, rec_v in (("small", "det_500m", "w600k_mbf"),
+                               ("mid", "det_2.5g", "w600k_mbf")):
+        tp = FacePipeline(det_variant=det_v, rec_variant=rec_v,
+                          max_det=10, gallery_capacity=128,
+                          dtype=jnp.bfloat16, use_pallas_warp="force")
+        tp.set_gallery(rng.normal(size=(128, 512)).astype(np.float32),
+                       [f"p{i}" for i in range(128)])
+        batch = 96
+        frames = jnp.asarray(rng.integers(0, 255, (batch, 1080, 1920, 3),
+                                          dtype=np.uint8))
+        out = tp(frames, max_num=10)
+        _ = np.asarray(out.match_sim[0, 0])
+        t0 = time.perf_counter()
+        n = 0
+        o = None
+        for o in tp.process_stream([frames] * 8, max_num=10,
+                                   depth=int(os.environ.get("BENCH_DEPTH",
+                                                            "12"))):
+            n += o.boxes.shape[0]
+        if o is not None:
+            _ = np.asarray(o.match_sim[0, 0])
+        dt = time.perf_counter() - t0
+        results.append({
+            "metric": f"e2e_1080p_fps_{tier}_tier ({det_v}+{rec_v}, "
+                      "max_num=10 all slots occupied)",
+            "value": round(n / dt, 2), "unit": "frames/sec/chip"})
 
     # ---- N-stream aggregate serving (MultiStreamReader e2e) --------------
     # The serving model docs/PERF.md describes: N cameras decode on host
