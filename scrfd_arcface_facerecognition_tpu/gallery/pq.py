@@ -47,6 +47,14 @@ class PQCodec:
     """Per-subspace k-means codebooks. dim = M * sub_dim."""
     centroids: jnp.ndarray        # (M, K, sub_dim) f32
 
+    def __post_init__(self):
+        if self.centroids.shape[1] > 256:
+            # codes are uint8: a larger codebook would silently wrap
+            # assignments modulo 256 in encode()
+            raise ValueError(
+                f"k={self.centroids.shape[1]} > 256 does not fit uint8 "
+                f"codes")
+
     @property
     def m(self) -> int:
         return self.centroids.shape[0]
@@ -67,41 +75,73 @@ class PQCodec:
 
     @staticmethod
     def train(embeddings: np.ndarray, m: int = 64, k: int = 256,
-              iters: int = 20, seed: int = 0) -> "PQCodec":
+              iters: int = 20, seed: int = 0,
+              chunk: int = 8192) -> "PQCodec":
         """Batched Lloyd's k-means, all M subspaces in parallel on device.
 
         embeddings (N, dim) with dim % m == 0; N should be >= ~4k for a
         256-centroid codebook (empty clusters re-seed from the data).
+
+        The assignment/update einsums scan over `chunk`-row blocks so peak
+        device memory is O(M*chunk*K) regardless of corpus size (the
+        unblocked formulation materialized two (M, N, K) tensors — ~13 GB
+        at a typical N=100k corpus, crowding out the models this tier
+        exists to protect).
         """
         x = np.asarray(embeddings, np.float32)
         n, dim = x.shape
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
+        if k > 256:
+            raise ValueError(f"k={k} > 256 does not fit uint8 codes")
         sub = dim // m
         data_np = x.reshape(n, m, sub).transpose(1, 0, 2)            # (M,N,S)
-        data = jnp.asarray(data_np)
         rng = np.random.default_rng(seed)
         k_eff = min(k, n)
         init_idx = rng.choice(n, size=k_eff, replace=False)
         # host-side init gather: an eager device fancy-gather compiles a
         # fresh scatter/gather program (minutes through a remote compiler)
         cent = jnp.asarray(data_np[:, init_idx, :])                  # (M,K,S)
+        # re-seed VALUES precomputed on host (tiny: iters*M*K*S f32) —
+        # avoids keeping a second full-data layout around for the gather
+        reseed_idx = rng.choice(n, size=(iters, k_eff))
         reseed = jnp.asarray(
-            rng.choice(n, size=(iters, k_eff)).astype(np.int32))
+            data_np[:, reseed_idx.reshape(-1), :]
+            .reshape(m, iters, k_eff, sub).transpose(1, 0, 2, 3))
+
+        c = min(chunk, n)
+        n_pad = -(-n // c) * c
+        dpad = np.zeros((m, n_pad, sub), np.float32)
+        dpad[:, :n] = data_np
+        w = np.zeros(n_pad, np.float32)
+        w[:n] = 1.0                          # padded rows carry zero weight
+        data_sc = jnp.asarray(
+            dpad.reshape(m, n_pad // c, c, sub).transpose(1, 0, 2, 3))
+        w_sc = jnp.asarray(w.reshape(n_pad // c, c))
 
         @jax.jit
-        def step(cent, reseed_row):
-            # assignment: argmin ||x - c||^2 = argmin (||c||^2 - 2 x.c)
-            xc = jnp.einsum("mns,mks->mnk", data, cent)              # (M,N,K)
+        def step(cent, rs_vals):
             c2 = jnp.sum(cent * cent, axis=-1)                       # (M,K)
-            assign = jnp.argmin(c2[:, None, :] - 2.0 * xc, axis=-1)  # (M,N)
-            onehot = jax.nn.one_hot(assign, k_eff, dtype=jnp.float32)
-            counts = jnp.sum(onehot, axis=1)                         # (M,K)
-            sums = jnp.einsum("mnk,mns->mks", onehot, data)
+
+            def body(carry, inp):
+                counts, sums = carry
+                data_c, w_c = inp                                # (M,C,S),(C,)
+                # assignment: argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
+                xc = jnp.einsum("mcs,mks->mck", data_c, cent)
+                assign = jnp.argmin(c2[:, None, :] - 2.0 * xc, axis=-1)
+                oh = (jax.nn.one_hot(assign, k_eff, dtype=jnp.float32)
+                      * w_c[None, :, None])
+                return (counts + jnp.sum(oh, axis=1),
+                        sums + jnp.einsum("mck,mcs->mks", oh, data_c)), None
+
+            (counts, sums), _ = jax.lax.scan(
+                body,
+                (jnp.zeros((m, k_eff), jnp.float32),
+                 jnp.zeros((m, k_eff, sub), jnp.float32)),
+                (data_sc, w_sc))
             new = sums / jnp.maximum(counts[..., None], 1.0)
             # re-seed empty clusters from random data points
-            rs = data[:, reseed_row, :]                              # (M,K,S)
-            return jnp.where(counts[..., None] > 0, new, rs)
+            return jnp.where(counts[..., None] > 0, new, rs_vals)
 
         for i in range(iters):
             cent = step(cent, reseed[i])
@@ -109,15 +149,26 @@ class PQCodec:
 
     # ----------------------------------------------------- encode/decode
 
-    def encode(self, embeddings) -> jnp.ndarray:
-        """(N, dim) -> (N, M) uint8 codes."""
-        x = jnp.asarray(np.asarray(embeddings, np.float32))
+    def encode(self, embeddings, chunk: int = 16384) -> jnp.ndarray:
+        """(N, dim) -> (N, M) uint8 codes.
+
+        Blocked over `chunk` rows: the (N, M, K) distance tensor of the
+        one-shot formulation is 64 GB at the advertised 1M-row bulk add —
+        blocking caps peak memory at (chunk, M, K) with one compiled
+        program reused for every block."""
+        x = np.asarray(embeddings, np.float32)
         n = x.shape[0]
-        data = x.reshape(n, self.m, self.sub_dim)
-        xc = jnp.einsum("nms,mks->nmk", data, self.centroids)
-        c2 = jnp.sum(self.centroids * self.centroids, axis=-1)       # (M,K)
-        assign = jnp.argmin(c2[None] - 2.0 * xc, axis=-1)            # (N,M)
-        return assign.astype(jnp.uint8)
+        if n <= chunk:
+            return _encode_block(self.centroids, jnp.asarray(x))
+        out = np.empty((n, self.m), np.uint8)
+        for i0 in range(0, n, chunk):
+            blk = x[i0:i0 + chunk]
+            if len(blk) < chunk:             # pad: one program for all blocks
+                blk = np.pad(blk, ((0, chunk - len(blk)), (0, 0)))
+            codes = np.asarray(_encode_block(self.centroids,
+                                             jnp.asarray(blk)))
+            out[i0:i0 + chunk] = codes[:len(out) - i0]
+        return jnp.asarray(out)
 
     def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
         """(N, M) uint8 -> (N, dim) reconstruction."""
@@ -131,6 +182,16 @@ class PQCodec:
         q = jnp.asarray(np.asarray(queries, np.float32))
         qs = q.reshape(q.shape[0], self.m, self.sub_dim)
         return jnp.einsum("qms,mks->qmk", qs, self.centroids)
+
+
+@jax.jit
+def _encode_block(centroids: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(C, dim) block -> (C, M) uint8 codes (PQCodec.encode body)."""
+    m, _, sub = centroids.shape
+    data = x.reshape(x.shape[0], m, sub)
+    xc = jnp.einsum("nms,mks->nmk", data, centroids)
+    c2 = jnp.sum(centroids * centroids, axis=-1)                  # (M,K)
+    return jnp.argmin(c2[None] - 2.0 * xc, axis=-1).astype(jnp.uint8)
 
 
 def adc_scores(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
@@ -158,13 +219,19 @@ def _adc_mxu_kernel(codes_ref, lut_ref, out_ref):
     """One G-block of ADC as one-hot x LUT matmuls on the MXU.
 
     codes_ref (M, Gb) int32; lut_ref (M, Q, K) f32; out_ref (Q, Gb) f32.
-    Per subspace m: onehot (K, Gb) = (iota_K == codes_m) in bf16, then
-    lut_m (Q, K) @ onehot -> (Q, Gb) accumulated in f32. The one-hot never
-    leaves VMEM — the table lookup the VPU gather formulation serializes
-    becomes dense MXU work instead.
-    """
-    import jax
+    Per subspace m: onehot (K, Gb) = (iota_K == codes_m) in bf16 (exact:
+    entries are 0/1), then lut_m @ onehot -> (Q, Gb) accumulated in f32.
+    The one-hot never leaves VMEM — the table lookup the VPU gather
+    formulation serializes becomes dense MXU work instead.
 
+    The f32 LUT rides the bf16 MXU as a hi/lo mantissa split (the
+    pallas_warp._hilo technique): hi = bf16(lut), lo = bf16((lut-hi)*2^9),
+    two matmuls whose f32-accumulated sum carries ~17 mantissa bits — so
+    this kernel matches the f32 scan path to ~1e-6 relative instead of the
+    ~2e-3 a single bf16 cast costs (near-tie top-k orders agree across
+    adc_impl choices). The 2^9 scale also blocks XLA's dot(A,hi)+dot(A,lo)
+    -> dot(A,hi+lo) rewrite, which would silently undo the split.
+    """
     m_total, q, k = lut_ref.shape
     gb = codes_ref.shape[1]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, gb), 0)
@@ -172,10 +239,15 @@ def _adc_mxu_kernel(codes_ref, lut_ref, out_ref):
     def body(m, acc):
         c = codes_ref[pl.ds(m, 1), :]                       # (1, Gb)
         onehot = (row_ids == c).astype(jnp.bfloat16)        # (K, Gb)
-        lut_m = lut_ref[pl.ds(m, 1)].reshape(q, k).astype(jnp.bfloat16)
-        return acc + jax.lax.dot_general(
-            lut_m, onehot, (((1,), (0,)), ((), ())),
+        lut_m = lut_ref[pl.ds(m, 1)].reshape(q, k)          # f32
+        hi = lut_m.astype(jnp.bfloat16)
+        lo = ((lut_m - hi.astype(jnp.float32)) * 512.0).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            hi, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        return acc + jax.lax.dot_general(
+            lo, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * (1.0 / 512.0)
 
     out_ref[:] = jax.lax.fori_loop(
         0, m_total, body, jnp.zeros((q, gb), jnp.float32))
@@ -215,8 +287,13 @@ def adc_scores_mxu(lut: jnp.ndarray, codes: jnp.ndarray,
     return out[:q, :g]
 
 
-def _local_pq_topk(lut, codes, valid, k: int, axis: str):
-    scores = adc_scores(lut, codes)                          # (Q, G/m)
+def _local_pq_topk(lut, codes, valid, k: int, axis: str,
+                   impl: str = "scan"):
+    if impl == "mxu":
+        scores = adc_scores_mxu(lut, codes,
+                                interpret=jax.default_backend() != "tpu")
+    else:
+        scores = adc_scores(lut, codes)                      # (Q, G/m)
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
     rows = codes.shape[0]
     k_local = min(k, rows)
@@ -230,13 +307,17 @@ def _local_pq_topk(lut, codes, valid, k: int, axis: str):
 
 
 def sharded_pq_top_k(queries, codec: PQCodec, codes, valid, k: int,
-                     mesh: Mesh, axis: str = "model"):
+                     mesh: Mesh, axis: str = "model",
+                     adc_impl: str = "scan"):
     """Top-k ADC search over codes row-sharded on `axis` (same collective
     shape as the dense sharded_top_k: local scores + all_gather of
-    candidates over ICI)."""
+    candidates over ICI). adc_impl picks the per-shard score kernel —
+    'mxu' runs the pallas one-hot-matmul kernel inside the shard_map body
+    (a multi-chip deployment should not fall back to the gather scan it
+    exists to replace)."""
     lut = codec.lut(queries)
     fn = jax.shard_map(
-        functools.partial(_local_pq_topk, k=k, axis=axis),
+        functools.partial(_local_pq_topk, k=k, axis=axis, impl=adc_impl),
         mesh=mesh, in_specs=(P(), P(axis, None), P(axis)),
         out_specs=(P(), P()), check_vma=False)
     return fn(lut, codes, valid)
@@ -256,8 +337,8 @@ class PQGallery:
                  keep_exact: bool = False, adc_impl: str = "auto"):
         # adc_impl: "mxu" (pallas one-hot matmul kernel, ~10x the scan on
         # v5e), "scan" (gather formulation, any backend), "auto" = mxu on
-        # TPU. The sharded path stays on scan (runs inside shard_map on
-        # the virtual CPU mesh in tests).
+        # TPU. Applies to the sharded path too (the kernel runs inside the
+        # shard_map body; interpret mode covers the virtual CPU test mesh).
         if adc_impl == "auto":
             adc_impl = "mxu" if jax.default_backend() == "tpu" else "scan"
         self.adc_impl = adc_impl
@@ -289,6 +370,11 @@ class PQGallery:
 
     def add(self, ids, embeddings) -> None:
         ids = np.atleast_1d(np.asarray(ids, np.int64))
+        if (ids < 0).any():
+            # -1 is the empty-slot sentinel; snapshot() derives validity
+            # from id sign, so a negative id would silently vanish across
+            # snapshot/restore
+            raise ValueError("person ids must be >= 0")
         emb = np.atleast_2d(np.asarray(embeddings, np.float32))
         codes = self.codec.encode(emb)
         n = len(ids)
@@ -379,7 +465,8 @@ class PQGallery:
         k_fetch = max(k, rerank) if rerank else k
         if self.mesh is not None:
             s, i = sharded_pq_top_k(q, self.codec, self._codes, self._valid,
-                                    k_fetch, self.mesh, self.axis)
+                                    k_fetch, self.mesh, self.axis,
+                                    adc_impl=self.adc_impl)
         else:
             lut = self.codec.lut(q)
             if self.adc_impl == "mxu":
@@ -392,6 +479,13 @@ class PQGallery:
             s, i = jax.lax.top_k(scores, min(k_fetch, self.capacity))
         s = np.asarray(s)
         i = np.asarray(i)
+        if s.shape[1] < k_fetch:
+            # fewer candidate columns than asked (capacity < k, or sharded
+            # gather < k): honor the documented (Q, k) contract — pad with
+            # -inf scores (masked to ids=-1 below)
+            pad = ((0, 0), (0, k_fetch - s.shape[1]))
+            s = np.pad(s, pad, constant_values=-np.inf)
+            i = np.pad(i, pad)
         if rerank:
             if self._exact is None:
                 raise ValueError("rerank needs PQGallery(keep_exact=True)")

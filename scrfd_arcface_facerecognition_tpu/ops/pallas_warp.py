@@ -90,7 +90,9 @@ SIGMA_MAX = min((PW - 320) / CQ, (R - 19) / (2 * CQ))
 
 
 class WarpParams(NamedTuple):
-    iparams: jnp.ndarray   # (F, 8) int32: b, level, oy, ox, pad...
+    iparams: jnp.ndarray   # (F, 8) int32: b, level, 0 (reserved), ox, pad...
+                           # (rows are always full-plane; the kernel reads
+                           # only indices 0, 1, 3)
     fparams: jnp.ndarray   # (F, 8) f32: sigma, u, v, my, mx, pad...
     fallback: jnp.ndarray  # (F,) bool — crop exceeds kernel envelope
     order: jnp.ndarray     # (F,) int32 — crops sorted by (frame, level)
@@ -138,8 +140,14 @@ def prepare_warp_params(matrices: jnp.ndarray, frame_idx: jnp.ndarray,
     src_h = jnp.where(level == 0, fh, ch)
     src_w = jnp.where(level == 0, fw, cw)
 
-    # canvas-level faces that still exceed the envelope -> XLA fallback
-    fallback = (jnp.abs(v) > PHI_MAX) | (sigma > SIGMA_MAX)
+    # canvas-level faces that still exceed the envelope -> XLA fallback.
+    # cos_phi > 0 is part of the envelope: |sin(phi)| alone cannot tell
+    # phi~0 from phi~180 deg, and near-inverted faces send the shear
+    # u = -sin/(1+cos) far past its bound while v stays small — without
+    # this term they'd slip through and the shift-chain would clip to
+    # garbage rows instead of being repaired by the exact-warp path.
+    fallback = ((jnp.abs(v) > PHI_MAX) | (sigma > SIGMA_MAX)
+                | (cos_phi <= 0.0))
 
     # rows stay in full source coordinates (whole planes are VMEM-resident);
     # only the x-window needs a 128-aligned origin. The upper clamp must

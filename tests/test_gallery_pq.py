@@ -212,3 +212,75 @@ def test_pq_snapshot_restores_onto_mesh(codec_and_corpus, tmp_path):
     s1, i1 = r.search(q, k=4)
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(s0, s1, atol=1e-4)
+
+
+def test_codec_rejects_k_over_256():
+    """uint8 codes: k > 256 would silently wrap assignments modulo 256."""
+    rng = np.random.default_rng(1)
+    corpus = rng.normal(size=(64, 64)).astype(np.float32)
+    with pytest.raises(ValueError, match="256"):
+        PQCodec.train(corpus, m=8, k=512, iters=1)
+    with pytest.raises(ValueError, match="256"):
+        PQCodec(jnp.zeros((8, 300, 8), jnp.float32))
+
+
+def test_encode_chunked_matches_one_shot(codec_and_corpus):
+    """Blocked encode (the path bulk million-row adds take) must produce
+    the identical codes as a single-block encode."""
+    codec, ids, corpus = codec_and_corpus
+    one = np.asarray(codec.encode(corpus, chunk=len(corpus)))
+    blocked = np.asarray(codec.encode(corpus, chunk=100))  # uneven tail
+    np.testing.assert_array_equal(blocked, one)
+
+
+def test_train_chunked_matches_unblocked(codec_and_corpus):
+    """Chunked k-means sweep == single-chunk sweep (same seeds/draws; the
+    blocked accumulation only reorders f32 sums)."""
+    _, ids, corpus = codec_and_corpus
+    small = corpus[:512]
+    c1 = PQCodec.train(small, m=16, k=32, iters=3, seed=7, chunk=512)
+    c2 = PQCodec.train(small, m=16, k=32, iters=3, seed=7, chunk=100)
+    np.testing.assert_allclose(np.asarray(c2.centroids),
+                               np.asarray(c1.centroids), atol=1e-4)
+
+
+def test_search_pads_to_k_when_capacity_smaller(codec_and_corpus):
+    """Documented contract: (Q, k) with ids=-1 where fewer than k valid
+    rows exist — even when capacity itself is below k."""
+    codec, ids, corpus = codec_and_corpus
+    g = PQGallery(codec, capacity=3)
+    g.add([5, 6], corpus[:2])
+    s, got = g.search(corpus[:2], k=5)
+    assert s.shape == (2, 5) and got.shape == (2, 5)
+    assert (got[:, 3:] == -1).all() and (s[:, 3:] == 0.0).all()
+    # rerank path honors the same contract
+    ge = PQGallery(codec, capacity=3, keep_exact=True)
+    ge.add([5, 6], corpus[:2])
+    s2, got2 = ge.search(corpus[:2], k=5, rerank=4)
+    assert s2.shape == (2, 5) and got2.shape == (2, 5)
+    assert (got2[:, 2:] == -1).all()
+
+
+def test_add_rejects_negative_ids(codec_and_corpus):
+    """-1 is the empty-slot sentinel snapshot() keys on; a negative id
+    would vanish silently across snapshot/restore."""
+    codec, ids, corpus = codec_and_corpus
+    g = PQGallery(codec, capacity=8)
+    with pytest.raises(ValueError, match=">= 0"):
+        g.add([-5], corpus[:1])
+
+
+def test_sharded_mxu_matches_scan(codec_and_corpus):
+    """adc_impl='mxu' must reach the shard_map body (not silently fall
+    back to the scan) and agree with the scan path."""
+    codec, ids, corpus = codec_and_corpus
+    mesh = make_mesh((8,), ("model",))
+    gs = PQGallery(codec, capacity=256, mesh=mesh, adc_impl="scan")
+    gm = PQGallery(codec, capacity=256, mesh=mesh, adc_impl="mxu")
+    gs.add(np.arange(128), corpus[::16])
+    gm.add(np.arange(128), corpus[::16])
+    q = corpus[1::16][:4]
+    ss, is_ = gs.search(q, k=5)
+    sm, im = gm.search(q, k=5)
+    np.testing.assert_allclose(sm, ss, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(im, is_)

@@ -107,6 +107,22 @@ def test_fallback_flags():
     assert np.asarray(params.fallback).all()
 
 
+def test_fallback_flags_near_inverted_faces():
+    """phi ~ 180 deg has |sin(phi)| small — |v| <= PHI_MAX alone would
+    admit it while the shear u = -sin/(1+cos) explodes. The envelope must
+    flag every near-inverted rotation (inverted camera / lying subject)."""
+    degs = [175.0, 180.0, -178.0, 170.5, 95.0]
+    m = _matrices([(1.0, np.deg2rad(d), 300.0, 300.0) for d in degs])
+    params = pw.prepare_warp_params(
+        m, jnp.asarray(np.zeros(len(degs), np.int32)), (540, 960), 2.0 / 3)
+    assert np.asarray(params.fallback).all()
+    # and the upright envelope is untouched
+    m_ok = _matrices([(1.0, np.deg2rad(8.0), 300.0, 300.0)])
+    p_ok = pw.prepare_warp_params(m_ok, jnp.asarray(np.zeros(1, np.int32)),
+                                  (540, 960), 2.0 / 3)
+    assert not np.asarray(p_ok.fallback).any()
+
+
 def test_order_restoration(frames):
     """Crops from interleaved frames come back in the caller's order."""
     specs = [(1.0, 0.0, 300.0, 270.0)] * 4
