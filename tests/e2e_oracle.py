@@ -13,7 +13,7 @@ against this replica on real JPEGs for the release sign-off.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Tuple
 
 import numpy as np
 
@@ -79,6 +79,23 @@ def np_distance2kps(points, distance):
     return np.stack(preds, axis=-1)
 
 
+def pairwise_iou_legacy(dets: np.ndarray) -> np.ndarray:
+    """(N, >=4) boxes -> (N, N) pairwise IoU with the reference's +1 pixel
+    offset (scrfd.py:185-198). The ONE definition of this convention:
+    greedy_nms below inlines the same formula row-by-row to mirror the
+    reference loop line-for-line, and tools/verify_release.py's IoU-gap
+    probe uses this matrix — both must track the same offset convention."""
+    x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    xx1 = np.maximum(x1[:, None], x1[None, :])
+    yy1 = np.maximum(y1[:, None], y1[None, :])
+    xx2 = np.minimum(x2[:, None], x2[None, :])
+    yy2 = np.minimum(y2[:, None], y2[None, :])
+    inter = (np.maximum(0.0, xx2 - xx1 + 1)
+             * np.maximum(0.0, yy2 - yy1 + 1))
+    return inter / (areas[:, None] + areas[None, :] - inter)
+
+
 def greedy_nms(dets: np.ndarray, iou_thres: float) -> List[int]:
     """The reference's O(N^2) +1-offset IoU NMS (scrfd.py:180-207)."""
     x1, y1, x2, y2, scores = dets.T
@@ -139,10 +156,25 @@ class OracleStack:
         self.input_size = input_size
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
+        # raw detector outputs are threshold-independent; the sign-off
+        # probes each image three times (threshold pick, IoU pick, the
+        # comparison itself), so memoize per image object. Keyed by id():
+        # callers hold the image list alive for the whole run.
+        self._raw_cache: dict = {}
+
+    def _raw(self, image_bgr: np.ndarray):
+        key = id(image_bgr)
+        hit = self._raw_cache.get(key)
+        if hit is None:
+            canvas, det_scale = letterbox(image_bgr, self.input_size)
+            outs = [np.asarray(o) for o in self.det_forward(det_blob(canvas))]
+            if len(self._raw_cache) >= 64:      # bound: sign-off-scale sets
+                self._raw_cache.clear()
+            hit = self._raw_cache[key] = (outs, det_scale)
+        return hit
 
     def raw_outputs(self, image_bgr: np.ndarray) -> List[np.ndarray]:
-        canvas, _ = letterbox(image_bgr, self.input_size)
-        return [np.asarray(o) for o in self.det_forward(det_blob(canvas))]
+        return self._raw(image_bgr)[0]
 
     def candidates(self, image_bgr: np.ndarray) -> np.ndarray:
         """Score-sorted pre-NMS candidates (N, 5) in original coords —
@@ -154,8 +186,7 @@ class OracleStack:
         """Score-sorted pre-NMS (det (N,5), kps (N,5,2)) in original
         coordinates (scrfd.py:122-156 before the NMS call)."""
         height, width = self.input_size
-        canvas, det_scale = letterbox(image_bgr, self.input_size)
-        outputs = [np.asarray(o) for o in self.det_forward(det_blob(canvas))]
+        outputs, det_scale = self._raw(image_bgr)
 
         scores_list, bboxes_list, kpss_list = [], [], []
         for idx, stride in enumerate(STRIDES):
