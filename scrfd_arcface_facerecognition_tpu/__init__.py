@@ -25,4 +25,4 @@ re-identification stack (reference: Kumar2421/scrfd_arcface_facerecognition):
                  video decoder, gallery snapshot store, config system.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
