@@ -75,12 +75,17 @@ def decode_outputs(outputs: Dict[str, list], input_size: Tuple[int, int],
 def detect_batch(apply_fn, variables, frames: jnp.ndarray, *,
                  plan: ops.LetterboxPlan, conf_thres: float, iou_thres: float,
                  pre_nms: int, max_det: int, max_num: int = 0,
-                 metric: str = "max", compute_dtype=None) -> Detections:
+                 metric: str = "max", compute_dtype=None,
+                 want_canvas: bool = True) -> Detections:
     """Full detect over (B, H, W, 3) uint8 BGR frames. Jit-traceable.
 
     compute_dtype: letterbox einsum precision — bf16 halves the resize
     matmul time when the detector itself runs bf16 (<=1 intensity LSB on
     the canvas, inside the 1e-3 budget); None = f32 (parity default).
+    want_canvas: False skips the u8 canvas + warp-envelope byproducts —
+    consumers that can never take the Pallas path (the plain Detector API,
+    pallas_policy 'off') shouldn't pay their HBM traffic, and jit outputs
+    cannot be dead-code-eliminated.
     """
     input_size = plan.model_hw
     canvas = ops.letterbox(frames, plan, dtype=compute_dtype)  # (B, 640, 640, 3) f32
@@ -105,13 +110,31 @@ def detect_batch(apply_fn, variables, frames: jnp.ndarray, *,
         count, mask, det_c, kps_c = ops.nms.compact_by_mask(
             keep, det, kps_f, max_out=max_det)
         if 0 < max_num < max_det:
-            det_c, kps_c, mask = ops.select_top_faces(
+            det_s, kps_s, mask_s = ops.select_top_faces(
                 det_c, kps_c, mask, max_num, metric, plan.frame_hw)
+            # reference semantics (scrfd.py:159): selection — and its
+            # area/center reordering — applies only when MORE than max_num
+            # faces survive NMS; otherwise score order is preserved (the
+            # compacted slate is already score-descending)
+            sel = count > max_num
+            det_c = jnp.where(sel, det_s, det_c[:max_num])
+            kps_c = jnp.where(sel, kps_s, kps_c[:max_num])
+            mask = jnp.where(sel, mask_s, mask[:max_num])
             count = jnp.minimum(count, max_num)
         return det_c, kps_c, mask, count
 
     det_c, kps_c, mask, count = jax.vmap(per_frame)(
         top_boxes, top_scores, top_kps, valid)
+
+    b, k = mask.shape
+    total = jnp.sum(mask).astype(jnp.int32)
+    scale_b = jnp.full((b,), plan.det_scale, jnp.float32)
+    if not want_canvas:
+        return Detections(boxes=det_c[..., :4], scores=det_c[..., 4],
+                          kps=kps_c, valid=mask, count=count,
+                          host_counts=jnp.stack(
+                              [total, jnp.int32(0)]),
+                          det_scale=scale_b)
 
     # u8 canvas + Pallas-warp envelope check (one fused byproduct so the
     # host learns bucket size AND warp path from a single readback)
@@ -119,17 +142,16 @@ def detect_batch(apply_fn, variables, frames: jnp.ndarray, *,
     from .. import ops as _ops
     from ..ops import pallas_warp as _pw
 
-    b, k = mask.shape
     matrices = _ops.estimate_norm(kps_c.reshape(b * k, 5, 2))
     wp = _pw.prepare_warp_params(
         matrices, jnp.repeat(jnp.arange(b, dtype=jnp.int32), k),
         plan.frame_hw, plan.det_scale, canvas_hw=plan.model_hw)
     n_fb = jnp.sum(wp.fallback & mask.reshape(-1)).astype(jnp.int32)
-    total = jnp.sum(mask).astype(jnp.int32)
     return Detections(boxes=det_c[..., :4], scores=det_c[..., 4],
                       kps=kps_c, valid=mask, count=count,
                       canvas=canvas_u8, n_warp_fallback=n_fb,
-                      host_counts=jnp.stack([total, n_fb]))
+                      host_counts=jnp.stack([total, n_fb]),
+                      det_scale=scale_b)
 
 
 def detect_batch_dynamic(apply_fn, variables, frames: jnp.ndarray,
@@ -169,8 +191,14 @@ def detect_batch_dynamic(apply_fn, variables, frames: jnp.ndarray,
         count, mask, det_c, kps_c = ops.nms.compact_by_mask(
             keep, det, kps_f, max_out=max_det)
         if 0 < max_num < max_det:
-            det_c, kps_c, mask = ops.select_top_faces(
+            det_s, kps_s, mask_s = ops.select_top_faces(
                 det_c, kps_c, mask, max_num, metric, fhw)
+            # selection only when count > max_num (scrfd.py:159) — see
+            # detect_batch
+            sel = count > max_num
+            det_c = jnp.where(sel, det_s, det_c[:max_num])
+            kps_c = jnp.where(sel, kps_s, kps_c[:max_num])
+            mask = jnp.where(sel, mask_s, mask[:max_num])
             count = jnp.minimum(count, max_num)
         return det_c, kps_c, mask, count
 
@@ -221,6 +249,10 @@ class Detector:
         # single-image API); FacePipeline turns the trim on for throughput.
         self.tight_canvas = tight_canvas
         if onnx_path is not None:
+            if variables is not None:
+                raise ValueError(
+                    "pass either variables or onnx_path, not both — the "
+                    "graph path would silently discard the given weights")
             # Graph-driven path: the released .onnx IS the model
             # (numerical agreement with the file is structural).
             from ..models.graph_models import scrfd_from_onnx
@@ -256,7 +288,10 @@ class Detector:
                 detect_batch, self.model.apply,
                 plan=plan, conf_thres=self.conf_thres,
                 iou_thres=self.iou_thres, pre_nms=self.pre_nms,
-                max_det=self.max_det, max_num=max_num, metric=metric)
+                max_det=self.max_det, max_num=max_num, metric=metric,
+                # the plain detect API never takes the Pallas warp path —
+                # don't pay the canvas/envelope byproducts' HBM traffic
+                want_canvas=False)
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 

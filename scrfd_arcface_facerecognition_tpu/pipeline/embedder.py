@@ -37,6 +37,35 @@ def embed_crops(apply_fn, variables, frames: jnp.ndarray, kps_flat: jnp.ndarray,
     return emb * valid_flat[:, None].astype(emb.dtype)
 
 
+def _pallas_warp_crops(frames, canvas_u8, kps_flat, frame_idx, det_scale,
+                       interpret: bool):
+    """Shared preamble of the two Pallas embed paths: umeyama matrices ->
+    kernel params -> warped crops. Returns (matrices, params, crops).
+
+    det_scale: per-image (B,) canvas scales. The detect stage always
+    supplies these (Detections.det_scale carries its plan's exact value) —
+    re-deriving from letterbox_plan(frame_hw, canvas_hw) is only a
+    fallback for direct callers, and is WRONG for tight-trimmed canvases
+    whose trim flips the plan's binding dimension (the int() truncation
+    shifts the scale; detect and embed must agree to the bit).
+    """
+    from ..ops import pallas_warp as pw
+
+    matrices = ops.estimate_norm(kps_flat, 112)
+    canvas_hw = tuple(canvas_u8.shape[1:3])
+    if det_scale is None:
+        scale = ops.letterbox_plan(tuple(frames.shape[1:3]),
+                                   canvas_hw).det_scale
+    else:
+        scale = det_scale[frame_idx]   # per-face, broadcasts in the params
+    params = pw.prepare_warp_params(
+        matrices, frame_idx, tuple(frames.shape[1:3]), scale,
+        canvas_hw=canvas_hw)
+    crops = pw.warp_crops_pallas(pw.planarize(frames), pw.planarize(canvas_u8),
+                                 params, interpret=interpret)
+    return matrices, params, crops
+
+
 def embed_crops_pallas(apply_fn, variables, frames: jnp.ndarray,
                        canvas_u8: jnp.ndarray, kps_flat: jnp.ndarray,
                        frame_idx: jnp.ndarray, valid_flat: jnp.ndarray, *,
@@ -47,26 +76,10 @@ def embed_crops_pallas(apply_fn, variables, frames: jnp.ndarray,
     Requires every crop within the kernel envelope (the caller routes
     batches with envelope violations to embed_crops); canvas_u8 is the
     detect stage's letterbox canvas (large-face pyramid level).
-    det_scale: per-image (B,) canvas scales (heterogeneous-shape path);
-    None derives the shared scale from the frame/canvas shapes.
+    det_scale: per-image (B,) canvas scales (Detections.det_scale).
     """
-    from ..ops import pallas_warp as pw
-
-    matrices = ops.estimate_norm(kps_flat, 112)
-    canvas_hw = tuple(canvas_u8.shape[1:3])
-    if det_scale is None:
-        # det_scale from the canvas actually produced by detect (full square
-        # or tight-trimmed — the trimmed dim never binds, so the scale is
-        # the same)
-        scale = ops.letterbox_plan(tuple(frames.shape[1:3]),
-                                   canvas_hw).det_scale
-    else:
-        scale = det_scale[frame_idx]   # per-face, broadcasts in the params
-    params = pw.prepare_warp_params(
-        matrices, frame_idx, tuple(frames.shape[1:3]), scale,
-        canvas_hw=canvas_hw)
-    crops = pw.warp_crops_pallas(pw.planarize(frames), pw.planarize(canvas_u8),
-                                 params, interpret=interpret)
+    _, _, crops = _pallas_warp_crops(frames, canvas_u8, kps_flat, frame_idx,
+                                     det_scale, interpret)
     net_in = ops.normalize_image(crops, ops.ARCFACE_MEAN, ops.ARCFACE_STD)
     emb = apply_fn(variables, net_in)
     if l2:
@@ -88,20 +101,8 @@ def embed_crops_mixed(apply_fn, variables, frames: jnp.ndarray,
     repair cost is fb_slots crops, not the batch. Callers route batches
     with more than fb_slots violations to embed_crops (plain XLA).
     """
-    from ..ops import pallas_warp as pw
-
-    matrices = ops.estimate_norm(kps_flat, 112)
-    canvas_hw = tuple(canvas_u8.shape[1:3])
-    if det_scale is None:
-        scale = ops.letterbox_plan(tuple(frames.shape[1:3]),
-                                   canvas_hw).det_scale
-    else:
-        scale = det_scale[frame_idx]
-    params = pw.prepare_warp_params(
-        matrices, frame_idx, tuple(frames.shape[1:3]), scale,
-        canvas_hw=canvas_hw)
-    crops = pw.warp_crops_pallas(pw.planarize(frames), pw.planarize(canvas_u8),
-                                 params, interpret=interpret)
+    matrices, params, crops = _pallas_warp_crops(
+        frames, canvas_u8, kps_flat, frame_idx, det_scale, interpret)
 
     # compact the flagged crops into the static repair slots
     fb = params.fallback & valid_flat
@@ -143,6 +144,10 @@ class Embedder:
         self.variant = variant
         self.input_size = (112, 112)
         if onnx_path is not None:
+            if variables is not None:
+                raise ValueError(
+                    "pass either variables or onnx_path, not both — the "
+                    "graph path would silently discard the given weights")
             # Graph-driven path: the released .onnx IS the model.
             from ..models.graph_models import arcface_from_onnx
 

@@ -37,6 +37,24 @@ class PipelineOutput(NamedTuple):
     match_sim: jnp.ndarray
 
 
+def _match_gallery(emb_flat, gallery, gallery_valid, valid_flat,
+                   similarity_thresh):
+    """Gallery cosine match (the ONE definition — three call sites):
+    (F, D) L2 embeddings -> (best_idx (F,) int32 with -1 for invalid or
+    below-threshold slots, best_sim (F,) clamped to [0, inf) and zeroed on
+    invalid slots / empty galleries)."""
+    sims = jnp.dot(emb_flat, gallery.T,
+                   precision=jax.lax.Precision.HIGHEST)          # (F, G)
+    sims = jnp.where(gallery_valid[None, :], sims, -jnp.inf)
+    best_sim = jnp.max(sims, axis=-1)
+    best_idx = jnp.argmax(sims, axis=-1)
+    matched = valid_flat & (best_sim > similarity_thresh)
+    best_idx = jnp.where(matched, best_idx, -1).astype(jnp.int32)
+    best_sim = jnp.where(valid_flat, jnp.maximum(best_sim, 0.0), 0.0)
+    best_sim = jnp.where(jnp.isfinite(best_sim), best_sim, 0.0)
+    return best_idx, best_sim
+
+
 def e2e_forward(det_apply, det_vars, emb_apply, emb_vars, frames, gallery,
                 gallery_valid, *, plan, conf_thres, iou_thres, pre_nms,
                 max_det, max_num, metric, similarity_thresh):
@@ -48,18 +66,13 @@ def e2e_forward(det_apply, det_vars, emb_apply, emb_vars, frames, gallery,
     emb = embed_faces(emb_apply, emb_vars, frames, det.kps, det.valid)
 
     b, k, d = emb.shape
-    sims = jnp.einsum("bkd,gd->bkg", emb, gallery,
-                      precision=jax.lax.Precision.HIGHEST)      # (B, K, G)
-    sims = jnp.where(gallery_valid[None, None, :], sims, -jnp.inf)
-    best_sim = jnp.max(sims, axis=-1)
-    best_idx = jnp.argmax(sims, axis=-1)
-    matched = det.valid & (best_sim > similarity_thresh)
-    best_idx = jnp.where(matched, best_idx, -1)
-    best_sim = jnp.where(det.valid, jnp.maximum(best_sim, 0.0), 0.0)
-    best_sim = jnp.where(jnp.isfinite(best_sim), best_sim, 0.0)
+    best_idx, best_sim = _match_gallery(
+        emb.reshape(b * k, d), gallery, gallery_valid,
+        det.valid.reshape(b * k), similarity_thresh)
     return PipelineOutput(boxes=det.boxes, scores=det.scores, kps=det.kps,
                           valid=det.valid, count=det.count, embeddings=emb,
-                          match_idx=best_idx, match_sim=best_sim)
+                          match_idx=best_idx.reshape(b, k),
+                          match_sim=best_sim.reshape(b, k))
 
 
 def embed_and_match_bucketed(emb_apply, emb_vars, frames, det: Detections,
@@ -99,20 +112,12 @@ def embed_and_match_bucketed(emb_apply, emb_vars, frames, det: Detections,
     else:
         emb_sel = embed_crops(emb_apply, emb_vars, frames, kps_sel, frame_idx,
                               valid_sel)                            # (F, 512)
-    sims = jnp.dot(emb_sel, gallery.T,
-                   precision=jax.lax.Precision.HIGHEST)             # (F, G)
-    sims = jnp.where(gallery_valid[None, :], sims, -jnp.inf)
-    best_sim = jnp.max(sims, axis=-1)
-    best_idx = jnp.argmax(sims, axis=-1)
-    matched = valid_sel & (best_sim > similarity_thresh)
-    best_idx = jnp.where(matched, best_idx, -1)
-    best_sim = jnp.where(valid_sel, jnp.maximum(best_sim, 0.0), 0.0)
-    best_sim = jnp.where(jnp.isfinite(best_sim), best_sim, 0.0)
+    best_idx, best_sim = _match_gallery(emb_sel, gallery, gallery_valid,
+                                        valid_sel, similarity_thresh)
 
     # scatter back into the padded (B, K) layout
     emb = jnp.zeros((b * k, emb_sel.shape[-1]), emb_sel.dtype).at[sel].set(emb_sel)
-    idx_full = jnp.full((b * k,), -1, jnp.int32).at[sel].set(
-        best_idx.astype(jnp.int32))
+    idx_full = jnp.full((b * k,), -1, jnp.int32).at[sel].set(best_idx)
     sim_full = jnp.zeros((b * k,), jnp.float32).at[sel].set(best_sim)
     return PipelineOutput(boxes=det.boxes, scores=det.scores, kps=det.kps,
                           valid=det.valid, count=det.count,
@@ -125,18 +130,14 @@ def embed_and_match(emb_apply, emb_vars, frames, det: Detections, gallery,
                     gallery_valid, *, similarity_thresh):
     """Jit-traceable stage 2: align+embed+gallery-match for a Detections."""
     emb = embed_faces(emb_apply, emb_vars, frames, det.kps, det.valid)
-    sims = jnp.einsum("bkd,gd->bkg", emb, gallery,
-                      precision=jax.lax.Precision.HIGHEST)
-    sims = jnp.where(gallery_valid[None, None, :], sims, -jnp.inf)
-    best_sim = jnp.max(sims, axis=-1)
-    best_idx = jnp.argmax(sims, axis=-1)
-    matched = det.valid & (best_sim > similarity_thresh)
-    best_idx = jnp.where(matched, best_idx, -1)
-    best_sim = jnp.where(det.valid, jnp.maximum(best_sim, 0.0), 0.0)
-    best_sim = jnp.where(jnp.isfinite(best_sim), best_sim, 0.0)
+    b, k, d = emb.shape
+    best_idx, best_sim = _match_gallery(
+        emb.reshape(b * k, d), gallery, gallery_valid,
+        det.valid.reshape(b * k), similarity_thresh)
     return PipelineOutput(boxes=det.boxes, scores=det.scores, kps=det.kps,
                           valid=det.valid, count=det.count, embeddings=emb,
-                          match_idx=best_idx, match_sim=best_sim)
+                          match_idx=best_idx.reshape(b, k),
+                          match_sim=best_sim.reshape(b, k))
 
 
 class FacePipeline:
@@ -187,8 +188,17 @@ class FacePipeline:
         else:
             self.pallas_policy = "off"
         self.use_pallas_warp = self.pallas_policy != "off"
-        self.pre_nms = pre_nms
-        self.max_det = max_det
+        # a user-supplied detector is the single source of ITS config: the
+        # pipeline reads conf/iou from it, so pre_nms/max_det must come
+        # from it too — mixing them with the pipeline ctor defaults
+        # silently truncated detections (detector built with max_det=64,
+        # pipeline default 16 -> crowd frames capped at 16, no error)
+        if detector is not None:
+            self.pre_nms = detector.pre_nms
+            self.max_det = detector.max_det
+        else:
+            self.pre_nms = pre_nms
+            self.max_det = max_det
         # Trim the all-zero letterbox pad band (44% of the canvas for 16:9
         # video) before the conv stack; see ops.tight_letterbox_plan for
         # the parity discussion. Reference-parity runs pass False.
@@ -249,19 +259,27 @@ class FacePipeline:
                     conf_thres=self.detector.conf_thres,
                     iou_thres=self.detector.iou_thres, pre_nms=self.pre_nms,
                     max_det=self.max_det, max_num=max_num, metric=metric,
-                    compute_dtype=cdt)
+                    compute_dtype=cdt,
+                    # policy 'off' can never take the Pallas path: skip the
+                    # canvas/envelope byproducts' HBM traffic
+                    want_canvas=(self.pallas_policy != "off"))
 
             self._jitted[key] = jax.jit(detect_fn)
-        if "embed_match" not in self._jitted:
+        # threshold is part of the key: it is baked into the traced program,
+        # so mutating pipe.similarity_thresh must produce a fresh closure,
+        # not silently serve the old one
+        em_key = ("embed_match", self.similarity_thresh)
+        if em_key not in self._jitted:
             emb_apply = self.embedder.model.apply
+            thresh = self.similarity_thresh
 
             def em_fn(emb_vars, frames, det, gallery, gallery_valid):
                 return embed_and_match(
                     emb_apply, emb_vars, frames, det, gallery, gallery_valid,
-                    similarity_thresh=self.similarity_thresh)
+                    similarity_thresh=thresh)
 
-            self._jitted["embed_match"] = jax.jit(em_fn)
-        return self._jitted[key], self._jitted["embed_match"]
+            self._jitted[em_key] = jax.jit(em_fn)
+        return self._jitted[key], self._jitted[em_key]
 
     # repair-slot budget for mixed pallas+XLA warp batches: out-of-envelope
     # crops up to this count are recomputed exactly while the pallas kernel
@@ -270,15 +288,17 @@ class FacePipeline:
 
     def _bucket_fn(self, bucket: int, use_pallas: bool = False,
                    fb_slots: int = 0):
-        key = ("bucket", bucket, use_pallas, fb_slots)
+        key = ("bucket", bucket, use_pallas, fb_slots,
+               self.similarity_thresh)
         if key not in self._jitted:
             emb_apply = self.embedder.model.apply
             interpret = jax.default_backend() != "tpu"
+            thresh = self.similarity_thresh
 
             def em_fn(emb_vars, frames, det, gallery, gallery_valid):
                 return embed_and_match_bucketed(
                     emb_apply, emb_vars, frames, det, gallery, gallery_valid,
-                    similarity_thresh=self.similarity_thresh, bucket=bucket,
+                    similarity_thresh=thresh, bucket=bucket,
                     use_pallas=use_pallas, interpret=interpret,
                     fb_slots=fb_slots)
 
@@ -313,15 +333,24 @@ class FacePipeline:
             return (self.detector.variables, self.embedder.variables,
                     self._gallery, self._gallery_valid)
         key = tuple(sorted(d.id for d in dev_set))
-        cached = self._jitted.get(("placement", key))
-        if cached is None:
+        entry = self._jitted.get(("placement", key))
+        # invalidate on weight swap (pipe.detector.variables = <trained
+        # checkpoint> after a DP run): the cache stores the SOURCE trees it
+        # replicated from and re-places when they are no longer the live
+        # attributes — otherwise multi-device calls keep stale weights
+        # while single-device calls use the new ones
+        if (entry is None
+                or entry[0] is not self.detector.variables
+                or entry[1] is not self.embedder.variables):
             from jax.sharding import NamedSharding, PartitionSpec
             rep = NamedSharding(frames.sharding.mesh, PartitionSpec())
             put = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
-            cached = (put(self.detector.variables), put(self.embedder.variables),
+            placed = (put(self.detector.variables),
+                      put(self.embedder.variables),
                       put(self._gallery), put(self._gallery_valid))
-            self._jitted[("placement", key)] = cached
-        return cached
+            entry = (self.detector.variables, self.embedder.variables, placed)
+            self._jitted[("placement", key)] = entry
+        return entry[2]
 
     def __call__(self, frames, max_num: int = 0, metric: str = "max",
                  bucketed: bool = True) -> PipelineOutput:
@@ -458,16 +487,32 @@ class FacePipeline:
             for row in idx
         ]
 
-    def build_targets_from_images(self, images, names) -> None:
+    def build_targets_from_images(self, images, names) -> int:
         """Gallery construction from face photos (main.py:78-105 semantics):
-        detect the single most prominent face per image, embed, install."""
-        embs, kept = [], []
+        detect the single most prominent face per image, embed, install.
+
+        Returns the number of targets installed; raises when NO image
+        yielded a face — silently keeping the previous gallery would
+        attribute frames to stale identities with no warning.
+        """
+        embs, kept, skipped = [], [], []
         for img, name in zip(images, names):
             det, kps = self.detector.detect(img, max_num=1)
             if len(det) == 0:
+                skipped.append(name)
                 continue
             emb = self.embedder(img, kps[0])
             embs.append(emb / max(np.linalg.norm(emb), 1e-12))
             kept.append(name)
-        if embs:
-            self.set_gallery(np.stack(embs), kept)
+        if not embs:
+            raise ValueError(
+                f"no faces detected in any of the {len(skipped)} target "
+                f"images — gallery left unchanged ({skipped[:5]}...)")
+        if skipped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "no face detected in %d/%d target images (skipped: %s)",
+                len(skipped), len(skipped) + len(kept), skipped[:10])
+        self.set_gallery(np.stack(embs), kept)
+        return len(kept)

@@ -113,6 +113,43 @@ def test_detect_max_num_selection():
         np.testing.assert_allclose(got_sorted, want_sorted, rtol=1e-4, atol=1e-2)
 
 
+def test_max_num_above_count_preserves_score_order():
+    """Reference semantics (scrfd.py:159): the max_num area-reordering
+    applies only when MORE than max_num faces survive NMS; with fewer,
+    rows stay score-descending. The static path used to reorder always."""
+    rng = np.random.default_rng(7)
+    outputs = _fake_outputs(rng, n_hot=30)
+    survivors = len(_oracle_detect(outputs, (1080, 1920), 0.5, 0.4)[0])
+    # a max_num the survivors do NOT exceed: selection must be skipped
+    max_num = survivors + 3
+    assert max_num < 64                       # stays on the selection path
+    want_det, _ = _oracle_detect(outputs, (1080, 1920), 0.5, 0.4,
+                                 max_num=max_num)
+    got = _run_detect_batch(outputs, (1080, 1920), 0.5, 0.4,
+                            max_num=max_num)
+    n = int(got.count[0])
+    assert n == survivors == len(want_det)
+    # ORDER must match the oracle exactly (score-descending, no reorder)
+    np.testing.assert_allclose(np.asarray(got.boxes[0][:n]),
+                               want_det[:, :4], rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got.scores[0][:n]),
+                               want_det[:, 4], rtol=1e-5, atol=1e-6)
+    assert np.all(np.diff(np.asarray(got.scores[0][:n])) <= 1e-6)
+
+
+def test_detect_batch_carries_plan_det_scale():
+    """Detections.det_scale is populated on the static path too — the
+    Pallas embed stage must reuse detect's EXACT scale, not re-derive it
+    (tight-trimmed canvases can flip the letterbox binding dimension)."""
+    rng = np.random.default_rng(8)
+    outputs = _fake_outputs(rng, n_hot=5)
+    plan = ops.letterbox_plan((1080, 1920), INPUT)
+    got = _run_detect_batch(outputs, (1080, 1920), 0.5, 0.4)
+    assert got.det_scale is not None
+    np.testing.assert_allclose(np.asarray(got.det_scale),
+                               np.full(1, plan.det_scale, np.float32))
+
+
 def test_detect_no_faces():
     rng = np.random.default_rng(2)
     outputs = _fake_outputs(rng, n_hot=0)
@@ -186,3 +223,23 @@ def test_tight_canvas_agrees_with_square():
             t = np.asarray(ot[kind][li]).reshape(1, 96 // s, 128 // s,
                                                  2 * c)[:, :rows_c]
             assert np.abs(f - t).max() <= tol, (kind, s, np.abs(f - t).max())
+
+
+def test_pipeline_inherits_supplied_detector_config():
+    """A user-supplied detector is the single source of its config: the
+    pipeline must take pre_nms/max_det from it (it already takes
+    conf/iou), or crowd frames get silently truncated to the pipeline
+    defaults."""
+    from scrfd_arcface_facerecognition_tpu.pipeline import FacePipeline
+
+    d = det_mod.Detector("det_500m", pre_nms=512, max_det=64)
+    pipe = FacePipeline(detector=d, rec_variant="w600k_mbf")
+    assert pipe.max_det == 64 and pipe.pre_nms == 512
+
+
+def test_detector_rejects_variables_plus_onnx_path():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        det_mod.Detector("det_500m", variables={"params": {}},
+                         onnx_path="/nonexistent.onnx")
