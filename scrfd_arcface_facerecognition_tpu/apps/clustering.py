@@ -640,51 +640,76 @@ class SmartFaceEngine:
         else:
             return []
 
+        return self._transform_api_visits(raw_visits)
+
+    @classmethod
+    def _transform_api_visits(cls, raw_visits) -> List[Dict[str, Any]]:
         visits = []
         for visit in raw_visits:
-            image_url = None
-            fr = visit.get("faceResponse")
-            if fr and isinstance(fr, dict):
-                # nested fields can be null / non-dict in real payloads —
-                # one bad record must not abort the whole fetch
-                image_url = ((fr.get("boxData") or {}).get("imageUrl")
-                             or (fr.get("faceResponse") or {}).get("imageUrl")
-                             or fr.get("imageUrl") or fr.get("image"))
-            else:
-                for key in ("imageUrl", "image", "faceImage", "face_image",
-                            "photo", "photoUrl"):
-                    if visit.get(key):
-                        image_url = visit[key]
-                        break
-            transformed = {
-                "visit_id": visit.get("id", visit.get("visitId",
-                                                      visit.get("visit_id"))),
-                "id": visit.get("id", visit.get("visitId")),
-                "customer_id": visit.get("customerId",
-                                         visit.get("customer_id")),
-                "customerId": visit.get("customerId",
-                                        visit.get("customer_id")),
-                "image": image_url,
-                "entry_time": visit.get("timestamp", visit.get(
-                    "entryTime", visit.get("entry_time"))),
-                "entryTime": visit.get("timestamp", visit.get(
-                    "entryTime", visit.get("entry_time"))),
-                "event": "entry" if visit.get("isEntry", False) else "exit",
-                "camera": visit.get("camera", visit.get("cameraName",
-                                                        "Unknown")),
-                "branchId": visit.get("branchId", visit.get("branch_id",
-                                                            "Unknown")),
-                "age": ((fr or {}).get("age") or {}).get("low")
-                       if fr else None,
-                "gender": ((fr or {}).get("gender") or {}).get("value")
-                          if fr else None,
-                "similarity": visit.get("confidence",
-                                        visit.get("similarity", 1.0)),
-                "entryEventIds": visit.get("entryEventIds", []),
-            }
-            if transformed["image"] and str(transformed["image"]).startswith("http"):
+            try:
+                transformed = cls._transform_api_visit(visit)
+            except Exception as e:
+                # one malformed record (e.g. a scalar where a dict is
+                # expected) must not abort the whole fetch
+                logger.warning("skipping malformed API visit record: %s", e)
+                continue
+            if transformed is not None:
                 visits.append(transformed)
         return visits
+
+    @staticmethod
+    def _transform_api_visit(visit: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        """Map one raw API record to the visit schema (reference :820-876);
+        returns None when the record carries no usable http image URL."""
+        image_url = None
+        fr = visit.get("faceResponse")
+        if fr and isinstance(fr, dict):
+            # nested fields can be null / non-dict in real payloads
+            image_url = ((fr.get("boxData") or {}).get("imageUrl")
+                         or (fr.get("faceResponse") or {}).get("imageUrl")
+                         or fr.get("imageUrl") or fr.get("image"))
+        else:
+            for key in ("imageUrl", "image", "faceImage", "face_image",
+                        "photo", "photoUrl"):
+                if visit.get(key):
+                    image_url = visit[key]
+                    break
+
+        def _nested(field, key):
+            # faceResponse.age/.gender arrive as {"low": n}/{"value": s}
+            # dicts but real payloads also carry bare scalars
+            v = (fr or {}).get(field) if isinstance(fr, dict) else None
+            if isinstance(v, dict):
+                return v.get(key)
+            return v
+
+        transformed = {
+            "visit_id": visit.get("id", visit.get("visitId",
+                                                  visit.get("visit_id"))),
+            "id": visit.get("id", visit.get("visitId")),
+            "customer_id": visit.get("customerId",
+                                     visit.get("customer_id")),
+            "customerId": visit.get("customerId",
+                                    visit.get("customer_id")),
+            "image": image_url,
+            "entry_time": visit.get("timestamp", visit.get(
+                "entryTime", visit.get("entry_time"))),
+            "entryTime": visit.get("timestamp", visit.get(
+                "entryTime", visit.get("entry_time"))),
+            "event": "entry" if visit.get("isEntry", False) else "exit",
+            "camera": visit.get("camera", visit.get("cameraName",
+                                                    "Unknown")),
+            "branchId": visit.get("branchId", visit.get("branch_id",
+                                                        "Unknown")),
+            "age": _nested("age", "low"),
+            "gender": _nested("gender", "value"),
+            "similarity": visit.get("confidence",
+                                    visit.get("similarity", 1.0)),
+            "entryEventIds": visit.get("entryEventIds", []),
+        }
+        if transformed["image"] and str(transformed["image"]).startswith("http"):
+            return transformed
+        return None
 
     # ----------------------------------------------------- dedup + merge
 

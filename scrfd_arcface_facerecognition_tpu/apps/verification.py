@@ -76,7 +76,7 @@ def build_comparison_results_json(results: Dict[str, Any]) -> Dict[str, Any]:
         raw = comparison.get("raw_data", {}) or {}
         events = raw.get("entryEventIds", []) or []
         file_name = event = camera = event_id = ""
-        if events:
+        if events and isinstance(events[0], dict):
             e0 = events[0]
             file_name = e0.get("fileName", "")
             event = e0.get("event", "")
@@ -233,7 +233,7 @@ class FaceComparison:
             if not image1 or not image2:
                 continue
             events = visit.get("entryEventIds") or []
-            event = events[0] if events else None
+            event = events[0] if events and isinstance(events[0], dict) else None
             records.append({
                 "comparison_id": visit.get("id", f"comparison_{len(records)}"),
                 "event_id": event.get("eventId") if event else None,

@@ -33,7 +33,7 @@ import threading
 from datetime import datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from ..utils.config import load_api_config
 from .verification import build_comparison_results_json
@@ -258,8 +258,24 @@ class WebApp:
     # ----------------------------------------------------------- routing
 
     def dispatch(self, method: str, path: str, body: Optional[Dict] = None):
-        """(status, content_type|None, payload). payload dict -> JSON."""
+        """(status, content_type|None, payload). payload dict -> JSON.
+
+        A handler exception returns a 500 JSON error instead of propagating
+        (which would reset the HTTP connection with no response); the
+        traversal guard runs on the decoded path, so decoding cannot widen
+        what the image routes serve.
+        """
+        try:
+            return self._dispatch(method, path, body)
+        except Exception as e:
+            logger.exception("handler error on %s %s", method, path)
+            return 500, None, {"error": f"Internal error: {e}"}
+
+    def _dispatch(self, method: str, path: str, body: Optional[Dict] = None):
         body = body or {}
+        # the UI requests image routes through encodeURI (webui.py), so
+        # %-escapes (spaces, unicode) must be decoded before path lookup
+        path = unquote(path)
         if method == "GET":
             if path == "/":
                 return self.index()

@@ -411,19 +411,23 @@ class GalleryStore:
         store = GalleryStore.restore_dir(directory)
         tmp_base = os.path.join(directory, "base.bin.compact")
         store.snapshot(tmp_base)
+        manifest_path = os.path.join(directory, "MANIFEST.json")
+        with open(manifest_path) as f:
+            old_deltas = json.load(f)["deltas"]
         os.replace(tmp_base, os.path.join(directory, "base.bin"))
         os.replace(tmp_base + ".meta.json",
                    os.path.join(directory, "base.bin.meta.json"))
-        manifest_path = os.path.join(directory, "MANIFEST.json")
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-        for name in manifest["deltas"]:
+        # Crash-safety ordering: point the manifest at the compacted base
+        # BEFORE removing delta files. Replaying the old deltas over the
+        # compacted base is idempotent (same upserts, already-gone deletes),
+        # but a manifest referencing deleted files would break restore_dir.
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"base": "base.bin", "deltas": []}, f)
+        os.replace(tmp, manifest_path)
+        for name in old_deltas:
             for suffix in ("", ".meta.json"):
                 try:
                     os.remove(os.path.join(directory, name + suffix))
                 except OSError:
                     pass
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"base": "base.bin", "deltas": []}, f)
-        os.replace(tmp, manifest_path)

@@ -275,3 +275,25 @@ def test_quality_gate_counts_low_quality(engine):
     results = engine.process_visit_data(str(p), save_images=False)
     assert results["low_quality"] == 1
     assert results["no_faces"] == 0
+
+
+def test_api_transform_isolates_malformed_records():
+    """One malformed API record (scalar where a dict is expected, or a
+    non-dict record) must not abort the whole fetch; scalar age/gender
+    fields are accepted as-is."""
+    raw = [
+        {"id": "v1", "image": "http://x/1.jpg",
+         "faceResponse": {"imageUrl": "http://x/1.jpg",
+                          "age": 25, "gender": "male"}},   # bare scalars
+        "not-a-dict-record",                               # malformed
+        {"id": "v2", "imageUrl": "http://x/2.jpg",
+         "faceResponse": None},
+        {"id": "v3", "image": "http://x/3.jpg",
+         "faceResponse": {"age": {"low": 30},
+                          "gender": {"value": "female"},
+                          "boxData": {"imageUrl": "http://x/3.jpg"}}},
+    ]
+    visits = SmartFaceEngine._transform_api_visits(raw)
+    assert [v["id"] for v in visits] == ["v1", "v2", "v3"]
+    assert visits[0]["age"] == 25 and visits[0]["gender"] == "male"
+    assert visits[2]["age"] == 30 and visits[2]["gender"] == "female"

@@ -197,3 +197,16 @@ def test_comparison_log_single_handler(tmp_path):
             if isinstance(h, _logging.FileHandler):
                 v.logger.removeHandler(h)
                 h.close()
+
+def test_transform_records_tolerates_non_dict_entry_events():
+    from scrfd_arcface_facerecognition_tpu.apps.verification import (
+        build_comparison_results_json)
+
+    records = FaceComparison.transform_records([
+        {"id": "v1", "image": "http://i1", "refImage": "http://r1",
+         "entryEventIds": ["bare-string-event"]}])
+    assert len(records) == 1 and records[0]["event_id"] is None
+    payload = build_comparison_results_json({
+        "results": [{"comparison_id": "v1", "event_id": "fallback-id",
+                     "raw_data": {"entryEventIds": ["bare-string-event"]}}]})
+    assert payload["comparisons"][0]["eventId"] == "fallback-id"

@@ -483,3 +483,30 @@ def test_merge_endpoint_returns_pairs(app):
     assert r["merged"] == len(r["pairs"])
     for p in r["pairs"]:
         assert set(p) == {"kept", "merged", "name"}
+
+def test_image_path_percent_decoding(app, tmp_path):
+    # the UI requests image routes through encodeURI (webui.py), so a
+    # filename with a space arrives as %20 and must be decoded server-side
+    import cv2
+    img_path = str(tmp_path / "my face.jpg")
+    cv2.imwrite(img_path, np.full((64, 64, 3), 128, np.uint8))
+    encoded = img_path.replace(" ", "%20")
+    status, ctype, data = app.dispatch("GET", f"/api/image/{encoded}")
+    assert status == 200 and ctype == "image/jpeg" and len(data) > 100
+    status, _, payload = app.dispatch("GET", f"/api/image-base64/{encoded}")
+    assert status == 200 and payload["image"].startswith("data:image/jpeg")
+
+
+def test_decoded_paths_still_respect_traversal_guard(app):
+    # %-escapes must not smuggle a path past the allowlist
+    status, ctype, data = app.dispatch("GET", "/api/image/%2Fetc%2Fpasswd")
+    assert status == 200 and ctype == "image/png"  # no-image fallback
+    status, _, payload = app.dispatch(
+        "GET", "/api/image-base64/..%2F..%2F..%2Fetc%2Fpasswd")
+    assert status == 404
+
+
+def test_handler_exception_returns_500_json(app):
+    app.engine.get_web_stats = lambda: 1 / 0
+    status, _, payload = app.dispatch("GET", "/api/stats")
+    assert status == 500 and "error" in payload

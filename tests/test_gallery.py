@@ -254,3 +254,50 @@ def test_add_batch_empty_is_noop():
     assert store.add_batch(np.zeros((0,), np.int64),
                            np.zeros((0, 512), np.float32)) == 0
     assert store.get_embedding_count() == 0
+
+
+def test_compaction_crash_window_is_restorable(tmp_path):
+    """compact_snapshots points the manifest at the compacted base BEFORE
+    deleting delta files. The crash window it leaves behind — compacted
+    base.bin with the OLD manifest still listing deltas — must restore
+    correctly (delta replay over a compacted base is idempotent)."""
+    import json
+    import os
+
+    rng = np.random.default_rng(3)
+    d = str(tmp_path / "snap3")
+    g = GalleryStore(capacity=32)
+    for i in range(4):
+        g.add_embedding(i, rng.normal(size=512), {"name": f"p{i}"})
+    g.snapshot_incremental(d)
+    g.add_embedding(4, rng.normal(size=512), {"name": "p4"})
+    g.add_embedding(1, rng.normal(size=512), {"name": "p1v2"})
+    g.delete_embedding(0)
+    g.snapshot_incremental(d)
+
+    # simulate the crash: fold deltas into base.bin but leave the old
+    # manifest (and delta files) in place
+    with open(os.path.join(d, "MANIFEST.json")) as f:
+        old_manifest = json.load(f)
+    GalleryStore.compact_snapshots(d)
+    with open(os.path.join(d, "MANIFEST.json"), "w") as f:
+        json.dump(old_manifest, f)
+    # the delta files were removed post-manifest in the real flow; restore
+    # must also survive the intermediate state where they still exist, so
+    # re-create the delta from the live store's state
+    adds = [4, 1]
+    from scrfd_arcface_facerecognition_tpu.runtime.native import snapshot_write
+    mat = np.stack([g.get_embedding(i) for i in adds])
+    path = os.path.join(d, old_manifest["deltas"][0])
+    snapshot_write(path, mat, np.asarray(adds, np.int64))
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"deleted": [0], "payloads": {
+            "4": {"name": "p4"}, "1": {"name": "p1v2"}}}, f)
+
+    r = GalleryStore.restore_dir(d)
+    assert sorted(r.ids()) == sorted(g.ids())
+    assert r.get_payload(1)["name"] == "p1v2"
+    m_live, ids_live = g.dense_matrix()
+    m_r, ids_r = r.dense_matrix()
+    assert ids_live == ids_r
+    np.testing.assert_allclose(m_r, m_live, atol=1e-6)
