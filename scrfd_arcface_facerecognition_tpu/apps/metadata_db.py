@@ -10,6 +10,7 @@ as the reference) with WAL enabled for parallel readers.
 from __future__ import annotations
 
 import sqlite3
+from contextlib import contextmanager
 from typing import Any, Dict, List, Optional, Tuple
 
 
@@ -19,10 +20,19 @@ class MetadataDB:
         self.setup()
         self.migrate()
 
-    def _conn(self) -> sqlite3.Connection:
+    @contextmanager
+    def _conn(self):
+        # sqlite3.Connection's own context manager only scopes the
+        # transaction — it never closes the handle, leaving closure to
+        # refcount GC; close explicitly so connections (and their WAL
+        # locks) end with the call
         conn = sqlite3.connect(self.path, timeout=30.0)
         conn.execute("PRAGMA journal_mode=WAL")
-        return conn
+        try:
+            with conn:
+                yield conn
+        finally:
+            conn.close()
 
     # ------------------------------------------------------------- schema
 

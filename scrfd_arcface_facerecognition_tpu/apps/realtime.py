@@ -172,8 +172,12 @@ def run(params: argparse.Namespace) -> dict:
     except KeyboardInterrupt:
         pass
     finally:
-        reader.close()
-        cap.release()
+        # close() joins the decode thread; only then is cap.release() safe
+        # (the producer may otherwise still be inside cap.read() — a
+        # use-after-free for the native ffmpeg reader). On a failed join
+        # (producer wedged in a blocking read) leak the capture instead.
+        if reader.close():
+            cap.release()
         writer.release()
         if params.show:
             cv2.destroyAllWindows()

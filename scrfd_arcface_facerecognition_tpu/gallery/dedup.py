@@ -85,15 +85,26 @@ class UnionFind:
 def duplicate_groups(embeddings: np.ndarray, threshold: float,
                      ids: Sequence[int] = None) -> List[List[int]]:
     """Group transitively-duplicate identities; each group sorted ascending,
-    groups of size >= 2 only (the merge worklist: keep group[0], merge rest)."""
+    groups of size >= 2 only (the merge worklist: keep group[0], merge rest).
+
+    Grouping runs through the native C union-find (runtime/native.py
+    uf_group_roots, Python fallback inside) — ids map to their ascending
+    rank so the min-rank root is the min id, preserving the "merge into
+    the smaller id" semantics (smart_face_recognition.py:2788)."""
+    from ..runtime.native import uf_group_roots
+
     g = embeddings.shape[0]
     if ids is None:
         ids = list(range(g))
     pairs = find_duplicate_pairs(embeddings, threshold, ids)
-    uf = UnionFind(ids)
-    for a, b, _ in pairs:
-        uf.union(a, b)
+    if not pairs:
+        return []
+    order = sorted(ids)
+    rank = {pid: r for r, pid in enumerate(order)}
+    idx_pairs = np.asarray([(rank[a], rank[b]) for a, b, _ in pairs],
+                           np.int64)
+    roots = uf_group_roots(len(order), idx_pairs)
     groups = {}
-    for i in ids:
-        groups.setdefault(uf.find(i), []).append(i)
+    for r, pid in zip(roots, order):
+        groups.setdefault(int(r), []).append(pid)
     return sorted([sorted(v) for v in groups.values() if len(v) > 1])

@@ -21,6 +21,7 @@ class BatchedFrameReader:
     def __init__(self, capture, batch: int = 8, ring_slots: int = 32):
         self.cap = capture
         self.batch = batch
+        self._stop = threading.Event()
         ok, first = capture.read()
         if not ok:
             self._empty = True
@@ -34,11 +35,18 @@ class BatchedFrameReader:
         self._thread.start()
 
     def _producer(self):
-        while True:
+        while not self._stop.is_set():
             ok, frame = self.cap.read()
             if not ok:
                 break
-            if not self._pipe.push(frame.tobytes(), timeout_ms=60000):
+            # short push slices that re-check stop, so close() can always
+            # unblock a producer stuck on a full ring
+            pushed = False
+            while not self._stop.is_set():
+                if self._pipe.push(frame.tobytes(), timeout_ms=200):
+                    pushed = True
+                    break
+            if not pushed:
                 break
         self._pipe.close()
 
@@ -60,9 +68,28 @@ class BatchedFrameReader:
             if len(frames) < self.batch:
                 return
 
-    def close(self):
-        if not self._empty:
-            self._pipe.close()
+    def close(self, join_timeout: float = 5.0):
+        """Stop the producer and JOIN it before returning, so callers can
+        safely release the capture afterwards (the producer may otherwise
+        still be inside cap.read() — a use-after-free for the native
+        ffmpeg reader). A producer stalled inside a blocking read past the
+        timeout is left running (leak the capture rather than free it
+        under the reader); close() reports whether the join succeeded."""
+        self._stop.set()
+        if self._empty:
+            return True
+        self._pipe.close()
+        import time as _time
+
+        deadline = _time.monotonic() + join_timeout
+        while self._thread.is_alive() and _time.monotonic() < deadline:
+            # drain so a producer blocked on a full ring's push can exit
+            try:
+                self._pipe.pop(timeout_ms=50)
+            except TimeoutError:
+                pass
+            self._thread.join(timeout=0.05)
+        return not self._thread.is_alive()
 
 
 def open_capture(source):

@@ -121,6 +121,23 @@ def test_batched_frame_reader_empty():
     assert list(reader) == []
 
 
+def test_batched_frame_reader_close_joins_producer():
+    """close() must stop AND join the decode thread — even when the
+    producer is blocked pushing into a full ring — so the caller can
+    safely release the capture afterwards (apps/realtime.py finally)."""
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+              for _ in range(64)]
+    # tiny ring so the producer is parked on a full-ring push mid-stream
+    reader = BatchedFrameReader(_FakeCapture(list(frames)), batch=4,
+                                ring_slots=2)
+    next(iter(reader))            # consume one batch, then abandon
+    assert reader.close() is True
+    assert not reader._thread.is_alive()
+    # idempotent
+    assert reader.close() is True
+
+
 def test_native_video_decoder_matches_cv2():
     """NativeVideoReader (ffmpeg C++) decodes the reference's committed
     demo.mp4 to the same frames cv2 produces (both are ffmpeg-backed;
