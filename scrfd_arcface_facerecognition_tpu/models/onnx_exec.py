@@ -188,6 +188,35 @@ class OnnxModel:
 
     # ------------------------------------------------------------ op table
 
+    def _static_np(self, env, name) -> Optional[np.ndarray]:
+        """Resolve an input that must be a TRACE-TIME constant (Reshape
+        target, Slice indices, Resize scales, reduce axes, ...).
+
+        Under jit the caller's `variables` leaves are tracers, so env lookups
+        for initializer-backed inputs are no longer numpy — but these values
+        are structural constants of the graph, so read them from the parsed
+        initializers (load-time bytes) instead. Graphs whose structural
+        constants arrive via Constant nodes (the torch exporter) still
+        resolve through env. Returns None when the value is genuinely
+        dynamic."""
+        if not name:
+            return None
+        if name in self.graph.initializers:
+            return self.graph.initializers[name]
+        if name in env:
+            v = env[name][1]
+            if isinstance(v, (np.ndarray, np.generic)):
+                return np.asarray(v)
+        return None
+
+    def _static_req(self, env, name, node) -> np.ndarray:
+        v = self._static_np(env, name)
+        if v is None:
+            raise UnsupportedOp(
+                f"{node.op_type} (node {node.name}): input {name!r} must be "
+                "a static shape/index tensor but is data-dependent")
+        return v
+
     def _get(self, env, name, jnp, layout="raw"):
         """Fetch an input in the requested layout; weights/constants pass
         through as numpy (fold-friendly)."""
@@ -390,10 +419,7 @@ class OnnxModel:
                 # 'sizes' input (absolute dims, opset 11+) must not be
                 # misread as scale factors.
                 def _static(name):
-                    if name and name in env and isinstance(
-                            env[name][1], np.ndarray):
-                        return env[name][1]
-                    return None
+                    return self._static_np(env, name)
 
                 scales = None
                 if op == "Upsample":
@@ -467,7 +493,8 @@ class OnnxModel:
             env[out] = ("raw", np.asarray(xv.shape, np.int64))
         elif op == "Reshape":
             shape = [int(s) for s in
-                     np.asarray(env[ins[1]][1]).reshape(-1).tolist()]
+                     self._static_req(env, ins[1], node).reshape(-1)
+                     .tolist()]
             # ONNX: 0 copies the corresponding input dim (allowzero=0)
             shape = [xv.shape[i] if s == 0 and i < xv.ndim else s
                      for i, s in enumerate(shape)]
@@ -479,13 +506,15 @@ class OnnxModel:
         elif op == "Squeeze":
             axes = attrs.get("axes")
             if axes is None and len(ins) > 1 and ins[1]:
-                axes = np.asarray(env[ins[1]][1]).reshape(-1).tolist()
+                axes = self._static_req(env, ins[1], node).reshape(-1) \
+                    .tolist()
             env[out] = ("raw", jnp.squeeze(
                 xv, axis=tuple(int(a) for a in axes) if axes else None))
         elif op == "Unsqueeze":
             axes = attrs.get("axes")
             if axes is None and len(ins) > 1 and ins[1]:
-                axes = np.asarray(env[ins[1]][1]).reshape(-1).tolist()
+                axes = self._static_req(env, ins[1], node).reshape(-1) \
+                    .tolist()
             y = xv
             for a in sorted(int(a) for a in axes):
                 y = jnp.expand_dims(y, a)
@@ -496,12 +525,12 @@ class OnnxModel:
                 xv, tuple(int(p) for p in perm) if perm else None))
         elif op == "Slice":
             if len(ins) > 1:     # opset 10+: starts/ends/axes/steps inputs
-                starts = np.asarray(env[ins[1]][1]).reshape(-1)
-                ends = np.asarray(env[ins[2]][1]).reshape(-1)
-                axes = (np.asarray(env[ins[3]][1]).reshape(-1)
+                starts = self._static_req(env, ins[1], node).reshape(-1)
+                ends = self._static_req(env, ins[2], node).reshape(-1)
+                axes = (self._static_req(env, ins[3], node).reshape(-1)
                         if len(ins) > 3 and ins[3] else
                         np.arange(len(starts)))
-                steps = (np.asarray(env[ins[4]][1]).reshape(-1)
+                steps = (self._static_req(env, ins[4], node).reshape(-1)
                          if len(ins) > 4 and ins[4] else
                          np.ones(len(starts), np.int64))
             else:
@@ -523,7 +552,8 @@ class OnnxModel:
             axis = int(attrs.get("axis", 0))
             splits = attrs.get("split")
             if splits is None and len(ins) > 1 and ins[1]:
-                splits = np.asarray(env[ins[1]][1]).reshape(-1).tolist()
+                splits = self._static_req(env, ins[1], node).reshape(-1) \
+                    .tolist()
             if splits is None:
                 n = len(node.outputs)
                 parts = jnp.split(xv, n, axis=axis)
@@ -533,7 +563,8 @@ class OnnxModel:
             for o, p in zip(node.outputs, parts):
                 env[o] = ("raw", p)
         elif op == "Expand":
-            shape = [int(s) for s in np.asarray(env[ins[1]][1]).reshape(-1)]
+            shape = [int(s)
+                     for s in self._static_req(env, ins[1], node).reshape(-1)]
             env[out] = ("raw", jnp.broadcast_to(
                 xv, np.broadcast_shapes(tuple(xv.shape), tuple(shape))))
         elif op == "Softmax":
@@ -542,7 +573,8 @@ class OnnxModel:
         elif op in ("ReduceMean", "ReduceSum"):
             axes = attrs.get("axes")
             if axes is None and len(ins) > 1 and ins[1]:
-                axes = np.asarray(env[ins[1]][1]).reshape(-1).tolist()
+                axes = self._static_req(env, ins[1], node).reshape(-1) \
+                    .tolist()
             keep = bool(attrs.get("keepdims", 1))
             fn = jnp.mean if op == "ReduceMean" else jnp.sum
             env[out] = ("raw", fn(
@@ -586,11 +618,13 @@ class OnnxModel:
                   "Greater": jnp.greater, "Less": jnp.less}[op]
             env[out] = ("raw", fn(*vals))
         elif op == "ConstantOfShape":
-            shape = [int(s) for s in np.asarray(env[ins[0]][1]).reshape(-1)]
+            shape = [int(s)
+                     for s in self._static_req(env, ins[0], node).reshape(-1)]
             val = attrs.get("value", np.zeros(1, np.float32))
             env[out] = ("raw", np.full(shape, np.asarray(val).reshape(-1)[0]))
         elif op == "Range":
-            s, e, d = (np.asarray(env[i][1]).reshape(()) for i in ins)
+            s, e, d = (self._static_req(env, i, node).reshape(())
+                       for i in ins)
             env[out] = ("raw", np.arange(s, e, d))
         else:  # pragma: no cover
             raise UnsupportedOp(op)

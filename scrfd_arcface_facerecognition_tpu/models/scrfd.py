@@ -111,17 +111,37 @@ def stem_kernel_to_s2d(w: "np.ndarray") -> "np.ndarray":
     return out
 
 
+def s2d_kernel_to_stem(w: "np.ndarray") -> "np.ndarray":
+    """(2, 2, 12, C) space-to-depth stem kernel -> plain (3, 3, 3, C).
+
+    Exact inverse of `stem_kernel_to_s2d` (the scatter is injective and the
+    unused slots are zero), so serving-layout variables convert back to the
+    standard stride-2 conv — used by checkpoint reconciliation and by the
+    ONNX exporter (models/onnx_export.py)."""
+    import numpy as np_
+
+    w = np_.asarray(w)
+    c_out = w.shape[-1]
+    out = np_.zeros((3, 3, 3, c_out), w.dtype)
+    for ky in range(3):
+        dby, dsy = divmod(ky - 1, 2)
+        for kx in range(3):
+            dbx, dsx = divmod(kx - 1, 2)
+            for c in range(3):
+                out[ky, kx, c] = w[dby + 1, dbx + 1, dsy * 6 + dsx * 3 + c]
+    return out
+
+
 def adapt_stem_variables(variables, s2d_stem: bool):
     """Reconcile a variables tree's stem layout with the target model's.
 
     Training checkpoints store the plain (3, 3, 3, C) stride-2 stem
     (build_scrfd / SCRFD_CONFIGS default s2d_stem=False), while the serving
     `Detector` defaults to the exactly-equivalent space-to-depth stem
-    ((2, 2, 12, C) over the repacked input). When the layouts differ in the
-    convertible direction, rewrite `params/backbone/stem1/conv/kernel` via
-    `stem_kernel_to_s2d` (exact, not approximate); the reverse direction
-    has no general inverse, so fail with the fix instead of letting XLA
-    raise a feature-count mismatch on the first frame.
+    ((2, 2, 12, C) over the repacked input). When the layouts differ,
+    rewrite `params/backbone/stem1/conv/kernel` via `stem_kernel_to_s2d` /
+    `s2d_kernel_to_stem` (both exact, not approximate) instead of letting
+    XLA raise a feature-count mismatch on the first frame.
     """
     import numpy as np_
 
@@ -131,27 +151,25 @@ def adapt_stem_variables(variables, s2d_stem: bool):
         return variables  # foreign layout (e.g. graph-executor variables)
     shape = tuple(kernel.shape[:3])
     if s2d_stem and shape == (3, 3, 3):
-        new_kernel = jnp.asarray(
-            stem_kernel_to_s2d(np_.asarray(kernel)), kernel.dtype)
-        # copy-on-write along the mutated path only (works for plain dicts
-        # and FrozenDicts alike; leaves are shared, never mutated)
-        def _set(tree, path, value):
-            tree = dict(tree)
-            if len(path) == 1:
-                tree[path[0]] = value
-            else:
-                tree[path[0]] = _set(tree[path[0]], path[1:], value)
-            return tree
+        new_kernel = stem_kernel_to_s2d(np_.asarray(kernel))
+    elif not s2d_stem and shape == (2, 2, 12):
+        new_kernel = s2d_kernel_to_stem(np_.asarray(kernel))
+    else:
+        return variables
 
-        return _set(variables,
-                    ("params", "backbone", "stem1", "conv", "kernel"),
-                    new_kernel)
-    if not s2d_stem and shape == (2, 2, 12):
-        raise ValueError(
-            "checkpoint stem kernel is in space-to-depth layout (2, 2, 12, C)"
-            " but the model was built with s2d_stem=False; construct the "
-            "Detector with s2d_stem=True (its default)")
-    return variables
+    # copy-on-write along the mutated path only (works for plain dicts
+    # and FrozenDicts alike; leaves are shared, never mutated)
+    def _set(tree, path, value):
+        tree = dict(tree)
+        if len(path) == 1:
+            tree[path[0]] = value
+        else:
+            tree[path[0]] = _set(tree[path[0]], path[1:], value)
+        return tree
+
+    return _set(variables,
+                ("params", "backbone", "stem1", "conv", "kernel"),
+                jnp.asarray(new_kernel, kernel.dtype))
 
 
 class Backbone(nn.Module):

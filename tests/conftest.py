@@ -44,6 +44,7 @@ _SLOW_FILES = {
     "test_scrfd_train.py",
     "test_bucket_parity.py",     # real model stack on fixtures
     "test_onnx_exec.py",
+    "test_onnx_export.py",
     "test_onnx_import.py",
     "test_golden_fixtures.py",
     "test_replay_real_visits.py",

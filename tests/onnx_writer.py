@@ -1,101 +1,9 @@
-"""Minimal ONNX protobuf ENCODER for tests.
+"""Test-side alias for the package's ONNX protobuf encoder.
 
-Builds real ModelProto bytes (nodes + initializers) so the importer's
-parser and conversion conventions are tested end-to-end without the onnx
-package or network access.
+The encoder graduated from a test fixture into a package module when the
+exporter landed (models/onnx_export.py builds deployable graphs with it);
+tests keep importing from here.
 """
-from __future__ import annotations
-
-import struct
-from typing import Dict, List, Optional, Sequence
-
-import numpy as np
-
-_DTYPE_CODE = {np.dtype(np.float32): 1, np.dtype(np.int64): 7,
-               np.dtype(np.float16): 10}
-
-
-def _varint(v: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = v & 0x7F
-        v >>= 7
-        if v:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
-def _tag(field: int, wire: int) -> bytes:
-    return _varint((field << 3) | wire)
-
-
-def _len_field(field: int, payload: bytes) -> bytes:
-    return _tag(field, 2) + _varint(len(payload)) + payload
-
-
-def _varint_field(field: int, v: int) -> bytes:
-    return _tag(field, 0) + _varint(v)
-
-
-def encode_tensor(name: str, arr: np.ndarray) -> bytes:
-    arr = np.ascontiguousarray(arr)
-    parts = bytearray()
-    for d in arr.shape:
-        parts += _varint_field(1, d)
-    parts += _varint_field(2, _DTYPE_CODE[arr.dtype])
-    parts += _len_field(8, name.encode())
-    parts += _len_field(9, arr.tobytes())
-    return bytes(parts)
-
-
-def encode_attr_int(name: str, v: int) -> bytes:
-    p = _len_field(1, name.encode()) + _varint_field(3, v) + _varint_field(20, 2)
-    return p
-
-
-def encode_attr_ints(name: str, vals: Sequence[int]) -> bytes:
-    p = bytearray(_len_field(1, name.encode()))
-    for v in vals:
-        p += _varint_field(8, v)
-    p += _varint_field(20, 7)
-    return bytes(p)
-
-
-def encode_node(op_type: str, inputs: List[str], outputs: List[str],
-                name: str = "", attrs: Optional[List[bytes]] = None) -> bytes:
-    parts = bytearray()
-    for i in inputs:
-        parts += _len_field(1, i.encode())
-    for o in outputs:
-        parts += _len_field(2, o.encode())
-    parts += _len_field(3, name.encode())
-    parts += _len_field(4, op_type.encode())
-    for a in attrs or []:
-        parts += _len_field(5, a)
-    return bytes(parts)
-
-
-def _value_info(name: str) -> bytes:
-    return _len_field(1, name.encode())
-
-
-def encode_model(nodes: List[bytes], initializers: Dict[str, np.ndarray],
-                 inputs: List[str], outputs: List[str]) -> bytes:
-    graph = bytearray()
-    for n in nodes:
-        graph += _len_field(1, n)
-    for name, arr in initializers.items():
-        graph += _len_field(5, encode_tensor(name, arr))
-    for i in inputs:
-        graph += _len_field(11, _value_info(i))
-    for o in outputs:
-        graph += _len_field(12, _value_info(o))
-    model = _varint_field(1, 8) + _len_field(7, bytes(graph))  # ir_version+graph
-    return model
-
-
-def encode_attr_string(name: str, s: str) -> bytes:
-    return (_len_field(1, name.encode()) + _len_field(4, s.encode())
-            + _varint_field(20, 3))
+from scrfd_arcface_facerecognition_tpu.models.onnx_write import (  # noqa: F401
+    _DTYPE_CODE, encode_attr_float, encode_attr_int, encode_attr_ints,
+    encode_attr_string, encode_model, encode_node, encode_tensor)

@@ -165,7 +165,6 @@ def test_trained_plain_stem_checkpoint_loads_into_s2d_detector():
     (what tools/train_scrfd.py saves — training builds s2d_stem=False)
     loads into the serving Detector, whose default is the s2d stem, and
     produces the plain-stem model's outputs."""
-    import pytest
     from scrfd_arcface_facerecognition_tpu.models.scrfd import (
         adapt_stem_variables)
     from scrfd_arcface_facerecognition_tpu.pipeline.detector import Detector
@@ -191,11 +190,15 @@ def test_trained_plain_stem_checkpoint_loads_into_s2d_detector():
     assert tuple(v0["params"]["backbone"]["stem1"]["conv"]
                  ["kernel"].shape[:3]) == (3, 3, 3)
 
-    # reverse direction has no inverse: fail loudly with the fix
+    # reverse direction converts exactly too (the s2d scatter is
+    # injective; models/scrfd.py s2d_kernel_to_stem): s2d-layout variables
+    # load into a plain-stem Detector and reproduce its outputs
     v_s2d = adapt_stem_variables(v0, s2d_stem=True)
-    with pytest.raises(ValueError, match="s2d_stem=True"):
-        Detector("det_500m", variables=v_s2d, input_size=(64, 64),
-                 s2d_stem=False)
+    det_back = Detector("det_500m", variables=v_s2d, input_size=(64, 64),
+                        conf_thres=0.003, pre_nms=32, max_det=4,
+                        s2d_stem=False)
+    boxes_b, _ = det_back.detect(frame)
+    np.testing.assert_allclose(boxes_b, boxes0, atol=1e-3, rtol=1e-4)
 
 
 def test_phase_split_stem_equivalent():
