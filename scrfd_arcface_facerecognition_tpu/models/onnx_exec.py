@@ -207,6 +207,13 @@ class OnnxModel:
             v = env[name][1]
             if isinstance(v, (np.ndarray, np.generic)):
                 return np.asarray(v)
+            # eager mode: a shape chain that crossed an op _fold_numpy
+            # doesn't cover yields a CONCRETE jax array — still static
+            import jax
+
+            if isinstance(v, jax.Array) and not isinstance(
+                    v, jax.core.Tracer):
+                return np.asarray(v)
         return None
 
     def _static_req(self, env, name, node) -> np.ndarray:

@@ -79,10 +79,14 @@ class GraphBuilder:
                                       name=name or outs[0], attrs=attrs))
         return outs[0] if n_out == 1 else outs
 
-    def finish(self, outputs: Sequence[str], path: Optional[str] = None
-               ) -> bytes:
+    def finish(self, outputs: Sequence[str], path: Optional[str] = None,
+               io_types: Optional[Dict] = None,
+               graph_name: str = "graph") -> bytes:
+        """io_types: {name: (elem_type, dims)} — onnxruntime REQUIRES type
+        info on graph IO (this repo's parser does not read it)."""
         data = encode_model(self.nodes, self.inits, [self.input_name],
-                            list(outputs))
+                            list(outputs), io_types=io_types,
+                            graph_name=graph_name)
         if path is not None:
             with open(path, "wb") as f:
                 f.write(data)
@@ -272,7 +276,9 @@ def _export_iresnet(model, variables, path=None) -> bytes:
     x = g.gemm(x, p["fc"]["kernel"], p["fc"].get("bias"),
                chw=(cfg.stage_filters[-1], h, w))
     x = g.batchnorm(x, p["features_bn"], bs["features_bn"])
-    return g.finish([x], path)
+    return g.finish([x], path, graph_name=cfg.name, io_types={
+        g.input_name: (1, ("batch", 3, *cfg.input_size)),
+        x: (1, ("batch", cfg.emb_dim))})
 
 
 def _export_mbf(model, variables, path=None) -> bytes:
@@ -308,7 +314,9 @@ def _export_mbf(model, variables, path=None) -> bytes:
     x = g.flatten(x)   # (B, 512, 1, 1): NCHW and NHWC flatten agree
     x = g.gemm(x, p["fc"]["kernel"], p["fc"].get("bias"))
     x = g.batchnorm(x, p["features_bn"], bs["features_bn"])
-    return g.finish([x], path)
+    return g.finish([x], path, graph_name=cfg.name, io_types={
+        g.input_name: (1, ("batch", 3, *cfg.input_size)),
+        x: (1, ("batch", cfg.emb_dim))})
 
 
 def export_arcface(model, variables, path: Optional[str] = None) -> bytes:
@@ -411,7 +419,14 @@ def export_scrfd(model, variables, path: Optional[str] = None) -> bytes:
         bboxes.append(d)
         kpss.append(k)
 
-    return g.finish(scores + bboxes + kpss, path)
+    io_types = {g.input_name: (1, ("batch", 3, "height", "width"))}
+    for group, width in ((scores, 1), (bboxes, 4),
+                         (kpss, cfg.num_kps * 2)):
+        for li, name in enumerate(group):
+            io_types[name] = (1, ("batch",
+                                  f"anchors_s{cfg.strides[li]}", width))
+    return g.finish(scores + bboxes + kpss, path, graph_name=cfg.name,
+                    io_types=io_types)
 
 
 def export_model(model, variables, path: Optional[str] = None) -> bytes:

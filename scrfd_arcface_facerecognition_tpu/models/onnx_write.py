@@ -27,6 +27,10 @@ _DTYPE_CODE = {np.dtype(np.float32): 1, np.dtype(np.int64): 7,
 
 
 def _varint(v: int) -> bytes:
+    if v < 0:
+        # protobuf int64: negatives encode as 64-bit two's complement
+        # (10-byte varint) — Python's arithmetic shift would loop forever
+        v += 1 << 64
     out = bytearray()
     while True:
         b = v & 0x7F
@@ -102,22 +106,51 @@ def encode_node(op_type: str, inputs: List[str], outputs: List[str],
     return bytes(parts)
 
 
-def _value_info(name: str) -> bytes:
-    return _len_field(1, name.encode())
+def _dim(d) -> bytes:
+    """TensorShapeProto.Dimension: int -> dim_value, str -> dim_param
+    (symbolic, e.g. a free batch axis)."""
+    if isinstance(d, str):
+        return _len_field(2, d.encode())
+    return _varint_field(1, int(d))
+
+
+def encode_tensor_type(elem_type: int, dims: Sequence) -> bytes:
+    """TypeProto{tensor_type=1: Tensor{elem_type=1, shape=2}}."""
+    shape = b"".join(_len_field(1, _dim(d)) for d in dims)
+    tensor = _varint_field(1, elem_type) + _len_field(2, shape)
+    return _len_field(1, tensor)
+
+
+def _value_info(name: str, spec=None) -> bytes:
+    """ValueInfoProto. `spec` = (elem_type_code, dims) — REQUIRED for graph
+    inputs/outputs consumed by onnxruntime (it rejects models whose IO
+    carries no TypeProto); this repo's own parser reads only the name."""
+    p = bytearray(_len_field(1, name.encode()))
+    if spec is not None:
+        elem, dims = spec
+        p += _len_field(2, encode_tensor_type(elem, dims))
+    return bytes(p)
 
 
 def encode_model(nodes: List[bytes], initializers: Dict[str, np.ndarray],
                  inputs: List[str], outputs: List[str],
-                 opset: int = 11) -> bytes:
+                 opset: int = 11, io_types: Optional[Dict] = None,
+                 graph_name: str = "graph") -> bytes:
+    """io_types: {tensor_name: (elem_type_code, dims)} type annotations
+    for graph inputs/outputs; dims entries are ints (fixed) or strings
+    (symbolic dim_param). Names without an entry emit name-only
+    ValueInfoProto (fine for this repo's parser, not for onnxruntime)."""
+    io_types = io_types or {}
     graph = bytearray()
     for n in nodes:
         graph += _len_field(1, n)
+    graph += _len_field(2, graph_name.encode())
     for name, arr in initializers.items():
         graph += _len_field(5, encode_tensor(name, arr))
     for i in inputs:
-        graph += _len_field(11, _value_info(i))
+        graph += _len_field(11, _value_info(i, io_types.get(i)))
     for o in outputs:
-        graph += _len_field(12, _value_info(o))
+        graph += _len_field(12, _value_info(o, io_types.get(o)))
     # OperatorSetIdProto{domain=1(default ""), version=2}
     opset_entry = _varint_field(2, opset)
     model = (_varint_field(1, 8) + _len_field(7, bytes(graph))

@@ -114,21 +114,32 @@ def stem_kernel_to_s2d(w: "np.ndarray") -> "np.ndarray":
 def s2d_kernel_to_stem(w: "np.ndarray") -> "np.ndarray":
     """(2, 2, 12, C) space-to-depth stem kernel -> plain (3, 3, 3, C).
 
-    Exact inverse of `stem_kernel_to_s2d` (the scatter is injective and the
-    unused slots are zero), so serving-layout variables convert back to the
-    standard stride-2 conv — used by checkpoint reconciliation and by the
-    ONNX exporter (models/onnx_export.py)."""
+    Exact inverse of `stem_kernel_to_s2d` for kernels that scatter produced
+    (injective mapping, unused slots zero) — used by checkpoint
+    reconciliation and by the ONNX exporter (models/onnx_export.py). A
+    GENERAL (2, 2, 12, C) conv has a 4x4 receptive field with 48 taps; if
+    the 21 slots outside the scatter's image are nonzero (e.g. a model
+    fine-tuned with s2d_stem=True drifted them), no 3x3 equivalent exists
+    and this raises instead of silently dropping learned weights."""
     import numpy as np_
 
     w = np_.asarray(w)
     c_out = w.shape[-1]
     out = np_.zeros((3, 3, 3, c_out), w.dtype)
+    used = np_.zeros(w.shape[:3], bool)
     for ky in range(3):
         dby, dsy = divmod(ky - 1, 2)
         for kx in range(3):
             dbx, dsx = divmod(kx - 1, 2)
             for c in range(3):
                 out[ky, kx, c] = w[dby + 1, dbx + 1, dsy * 6 + dsx * 3 + c]
+                used[dby + 1, dbx + 1, dsy * 6 + dsx * 3 + c] = True
+    resid = float(np_.abs(w[~used]).max()) if (~used).any() else 0.0
+    if resid > 1e-7 * max(1.0, float(np_.abs(w).max())):
+        raise ValueError(
+            "s2d stem kernel carries weight outside the 3x3 scatter image "
+            f"(max |tap| {resid:.3e}): it was trained as a true 4x4 "
+            "space-to-depth conv and has no exact plain-stem equivalent")
     return out
 
 

@@ -158,6 +158,86 @@ def test_s2d_kernel_inverse_exact():
         s2d_kernel_to_stem(stem_kernel_to_s2d(w)), w)
 
 
+def test_s2d_kernel_inverse_rejects_true_4x4():
+    """A kernel with weight OUTSIDE the scatter image (trained as a real
+    4x4 s2d conv) has no 3x3 equivalent: raise, don't drop weights."""
+    w = stem_kernel_to_s2d(
+        np.random.default_rng(0).normal(size=(3, 3, 3, 8))
+        .astype(np.float32))
+    bad = w.copy()
+    bad[0, 0, 0, 0] += 1.0   # slot the scatter never writes
+    assert np.all(w[0, 0, 0] == 0)
+    with pytest.raises(ValueError, match="no exact plain-stem"):
+        s2d_kernel_to_stem(bad)
+
+
+def test_negative_attribute_ints_roundtrip(tmp_path):
+    """Protobuf varints for negative ints (axis=-1, Slice end=-1) encode
+    as 64-bit two's complement — regression for an infinite loop."""
+    from scrfd_arcface_facerecognition_tpu.models.onnx_write import (
+        encode_attr_int, encode_attr_ints, encode_model, encode_node)
+
+    nodes = [encode_node("Flatten", ["x"], ["y"],
+                         attrs=[encode_attr_int("axis", -1)]),
+             encode_node("Slice", ["y"], ["z"],
+                         attrs=[encode_attr_ints("starts", [0]),
+                                encode_attr_ints("ends", [-1]),
+                                encode_attr_ints("axes", [-1])])]
+    p = str(tmp_path / "neg.onnx")
+    with open(p, "wb") as f:
+        f.write(encode_model(nodes, {}, ["x"], ["z"]))
+    g = load_onnx(p)
+    assert g.nodes[0].attrs["axis"] == -1
+    assert g.nodes[1].attrs["ends"] == [-1]
+    assert g.nodes[1].attrs["axes"] == [-1]
+
+
+def test_exported_graph_io_carries_type_info(tmp_path):
+    """onnxruntime rejects models whose graph IO lacks a TypeProto; check
+    the exported bytes carry elem_type + shape on input and outputs by
+    decoding the ValueInfoProto wire format directly (this repo's parser
+    ignores it, so a byte-level check is the only in-env validation)."""
+    from scrfd_arcface_facerecognition_tpu.models.onnx_proto import (
+        iter_fields)
+
+    model = SCRFDNet(TINY_DET)
+    _, vars_ = _build(model, (1, 64, 64, 3))
+    data = export_scrfd(model, vars_)
+
+    def value_infos(buf):
+        for field, wire, val in iter_fields(buf):
+            if field == 7 and wire == 2:               # ModelProto.graph
+                for f2, w2, v2 in iter_fields(val):
+                    if f2 in (11, 12) and w2 == 2:     # input / output
+                        yield f2, v2
+
+    def parse_vi(buf):
+        name, elem, dims = None, None, []
+        for f, w, v in iter_fields(buf):
+            if f == 1 and w == 2:
+                name = v.decode()
+            elif f == 2 and w == 2:                    # TypeProto
+                for f3, w3, v3 in iter_fields(v):
+                    if f3 == 1 and w3 == 2:            # tensor_type
+                        for f4, w4, v4 in iter_fields(v3):
+                            if f4 == 1 and w4 == 0:
+                                elem = v4
+                            elif f4 == 2 and w4 == 2:  # shape
+                                for f5, w5, v5 in iter_fields(v4):
+                                    if f5 == 1 and w5 == 2:
+                                        dims.append(v5)
+        return name, elem, dims
+
+    vis = list(value_infos(data))
+    assert sum(1 for f, _ in vis if f == 11) == 1      # one data input
+    assert sum(1 for f, _ in vis if f == 12) == 9      # nine outputs
+    for _, buf in vis:
+        name, elem, dims = parse_vi(buf)
+        assert name, "ValueInfo without a name"
+        assert elem == 1, f"{name}: missing/wrong elem_type (want f32)"
+        assert len(dims) in (3, 4), f"{name}: missing shape dims"
+
+
 # ----------------------------------------------------- importer round-trips
 
 
