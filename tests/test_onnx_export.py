@@ -325,6 +325,39 @@ def test_exported_detector_serves_via_jitted_graph_path(tmp_path):
     assert np.isfinite(boxes).all()
 
 
+def test_exported_pair_drives_full_face_pipeline(tmp_path):
+    """An exported detector + embedder pair drives the complete fused
+    FacePipeline (detect -> warp -> embed -> match) — the consumption
+    path the realtime CLI takes for --det-weight/--rec-weight files."""
+    from scrfd_arcface_facerecognition_tpu.pipeline import FacePipeline
+    from scrfd_arcface_facerecognition_tpu.pipeline.detector import Detector
+    from scrfd_arcface_facerecognition_tpu.pipeline.embedder import Embedder
+
+    det_m = SCRFDNet(TINY_DET)
+    _, det_v = _build(det_m, (1, 64, 64, 3))
+    cfg512 = dataclasses.replace(TINY_MBF, emb_dim=512)  # pipeline gallery
+    emb_m = MobileFaceNet(cfg512)                        # contract is 512-d
+    _, emb_v = _build(emb_m, (1, 112, 112, 3), seed=1)
+    det_path = str(tmp_path / "det.onnx")
+    emb_path = str(tmp_path / "emb.onnx")
+    export_scrfd(det_m, det_v, det_path)
+    export_arcface(emb_m, emb_v, emb_path)
+
+    pipe = FacePipeline(
+        detector=Detector("tiny", onnx_path=det_path, input_size=(64, 64),
+                          conf_thres=0.0, pre_nms=16, max_det=2),
+        embedder=Embedder("tiny", onnx_path=emb_path),
+        gallery_capacity=8)
+    rng = np.random.default_rng(9)
+    gal = rng.normal(size=(3, 512)).astype(np.float32)
+    pipe.set_gallery(gal, ["a", "b", "c"])
+    frames = rng.integers(0, 255, size=(2, 48, 64, 3), dtype=np.uint8)
+    out = pipe(frames)
+    assert out.boxes.shape[0] == 2
+    assert out.embeddings.shape == (2, 2, 512)
+    assert np.isfinite(np.asarray(out.match_sim)).all()
+
+
 # ------------------------------------------------------- full-scale (slow)
 
 

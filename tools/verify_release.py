@@ -184,6 +184,58 @@ def graph_parity(name: str, onnx_path: str, oracle_fwd, imgs,
     return worst
 
 
+def export_roundtrip(name: str, onnx_path: str, imgs, tmpdir: str):
+    """Stage 1b: load the graph through the ordered importer, RE-EXPORT it
+    (models/onnx_export.py), and run the re-exported bytes through the
+    executor against the importer-Flax forward.
+
+    Proves the full weight round trip — released bytes -> Flax -> new
+    .onnx -> executor — preserves the function, i.e. a user can ingest
+    the released weights, fine-tune or not, and redeploy a file this
+    framework produced."""
+    import e2e_oracle as eo
+    from scrfd_arcface_facerecognition_tpu.models.scrfd import build_scrfd
+    from scrfd_arcface_facerecognition_tpu.models.arcface import (
+        build_arcface)
+    from scrfd_arcface_facerecognition_tpu.models import onnx_import as oi
+    from scrfd_arcface_facerecognition_tpu.models.onnx_export import (
+        export_model)
+
+    is_det = name.startswith("det")
+    if is_det:
+        m = build_scrfd(name)
+        v = oi.load_scrfd_weights(m, onnx_path)
+        flax_fwd = eo.flax_det_forward(m, v)
+    else:
+        m = build_arcface(name)
+        v = oi.load_arcface_weights(m, onnx_path)
+        flax_fwd = eo.flax_rec_forward(m, v)
+    rt_path = os.path.join(tmpdir, f"{name}_roundtrip.onnx")
+    export_model(m, v, rt_path)
+    exec_fwd = executor_forwards(rt_path, is_det)
+
+    worst = {"diff": 0.0, "cos": 1.0}
+    for im in imgs:
+        if is_det:
+            canvas, _ = eo.letterbox(im)
+            blob = eo.det_blob(canvas)
+        else:
+            blob = eo.rec_blob([_center112(im)])
+        want, got = flax_fwd(blob), exec_fwd(blob)
+        if is_det:
+            worst["diff"] = max(worst["diff"],
+                                max(float(np.abs(g - w).max())
+                                    for g, w in zip(got, want)))
+        else:
+            g = np.asarray(got).reshape(-1)
+            w = np.asarray(want).reshape(-1)
+            worst["cos"] = min(worst["cos"], float(
+                np.dot(g, w)
+                / (np.linalg.norm(g) * np.linalg.norm(w) + 1e-12)))
+            worst["diff"] = max(worst["diff"], float(np.abs(g - w).max()))
+    return worst
+
+
 def _center112(im):
     import cv2
 
@@ -356,6 +408,9 @@ def main():
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--out", default="PARITY.md")
     ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--skip-export", action="store_true",
+                    help="skip the importer -> exporter -> executor "
+                         "round-trip leg")
     ap.add_argument("--conf-thres", type=float, default=None,
                     help="override the auto-picked sign-off threshold")
     args = ap.parse_args()
@@ -392,21 +447,33 @@ def main():
                          compare_importer=(mode == "standin"))
         imp_cell = (f"{w['imp_diff']:.2e}" if mode == "standin"
                     else "(=oracle)")
+        if args.skip_export:
+            rt_cell, rt_pass = "-", True
+        else:
+            rt = export_roundtrip(name, path, imgs[:2], tmpdir)
+            if is_det:
+                rt_cell = f"{rt['diff']:.2e}"
+                rt_pass = rt["diff"] < DET_RAW_BUDGET
+            else:
+                rt_cell = f"{rt['cos']:.6f}"
+                rt_pass = rt["cos"] > 1 - COS_BUDGET
         if is_det:
             passed = (w["exec_diff"] < DET_RAW_BUDGET
-                      and w["imp_diff"] < DET_RAW_BUDGET)
+                      and w["imp_diff"] < DET_RAW_BUDGET and rt_pass)
             rows.append((name, mode, f"{w['exec_diff']:.2e}",
-                         imp_cell, "-", passed))
+                         imp_cell, "-", rt_cell, passed))
         else:
             passed = (w["exec_cos"] > 1 - COS_BUDGET
-                      and w["imp_cos"] > 1 - COS_BUDGET)
+                      and w["imp_cos"] > 1 - COS_BUDGET and rt_pass)
             rows.append((name, mode, f"{w['exec_diff']:.2e}",
                          imp_cell,
-                         f"{min(w['exec_cos'], w['imp_cos']):.6f}", passed))
+                         f"{min(w['exec_cos'], w['imp_cos']):.6f}",
+                         rt_cell, passed))
         ok &= passed
         print(f"[graph] {name} ({mode}): exec {w['exec_diff']:.2e} "
               f"imp {imp_cell} "
               + ("" if is_det else f"cos {min(w['exec_cos'], w['imp_cos']):.6f} ")
+              + f"export-rt {rt_cell} "
               + ("PASS" if passed else "FAIL"))
 
     e2e_rows = []
@@ -446,11 +513,14 @@ def main():
                 "(flax paths under default_matmul_precision('float32') — "
                 "TPU's bf16-precision f32 default would otherwise inject "
                 "~1e-2 of backend noise into an exactness check).\n\n")
-        f.write("## Graph-level (executor + ordered importer vs oracle)\n\n")
+        f.write("## Graph-level (executor + ordered importer vs oracle; "
+                "export round-trip = importer -> onnx_export -> executor)"
+                "\n\n")
         f.write("| graph | mode | executor max\\|diff\\| | importer "
-                "max\\|diff\\| | worst cosine | verdict |\n|---|---|---|---|---|---|\n")
-        for name, mode, e, i, c, passed in rows:
-            f.write(f"| {name} | {mode} | {e} | {i} | {c} | "
+                "max\\|diff\\| | worst cosine | export round-trip | "
+                "verdict |\n|---|---|---|---|---|---|---|\n")
+        for name, mode, e, i, c, rt, passed in rows:
+            f.write(f"| {name} | {mode} | {e} | {i} | {c} | {rt} | "
                     f"{'PASS' if passed else 'FAIL'} |\n")
         if e2e_rows:
             f.write("\n## End-to-end (FacePipeline vs reference-replica "
