@@ -69,6 +69,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Display frames (requires a display)")
     parser.add_argument("--max-frames", type=int, default=0,
                         help="Stop after N frames (0 = all)")
+    parser.add_argument("--disagg", type=int, default=0,
+                        help="Stage-disaggregated deployment: N devices run "
+                             "detection, the rest run embedding+match "
+                             "(0 = co-located; needs >=2 JAX devices)")
     return parser.parse_args(argv)
 
 
@@ -156,9 +160,37 @@ def run(params: argparse.Namespace) -> dict:
         import itertools
 
         feed, draw_feed = itertools.tee(iter(reader))
-        stream = pipeline.process_stream(
-            (jnp.asarray(b) for b in feed), max_num=params.max_num)
+        if getattr(params, "disagg", 0):
+            import math
+
+            from ..parallel import DisaggPipeline, split_devices
+
+            det_g, emb_g = split_devices(n_det=params.disagg)
+            server = DisaggPipeline(pipeline, det_g, emb_g)
+            # both groups need a divisible batch: pad the (final, partial)
+            # batch by repeating its last frame, slice outputs back after
+            mult = (len(det_g) * len(emb_g)
+                    // math.gcd(len(det_g), len(emb_g)))
+
+            def device_feed():
+                for b in feed:
+                    arr = jnp.asarray(b)
+                    pad = (-arr.shape[0]) % mult
+                    if pad:
+                        arr = jnp.concatenate(
+                            [arr, jnp.repeat(arr[-1:], pad, axis=0)])
+                    yield arr
+
+            stream = server.process_stream(device_feed(),
+                                           max_num=params.max_num)
+        else:
+            stream = pipeline.process_stream(
+                (jnp.asarray(b) for b in feed), max_num=params.max_num)
         for batch, out in zip(draw_feed, stream):
+            if out.boxes.shape[0] != len(batch):   # padded disagg batch
+                import jax
+
+                out = jax.tree.map(lambda x: x[:len(batch)], out)
             annotate_batch(batch, out, pipeline.names, colors)
             for frame in batch:
                 writer.write(frame)

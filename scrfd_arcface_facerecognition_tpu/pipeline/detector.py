@@ -237,8 +237,10 @@ class Detector:
                  pre_nms: int = 256, max_det: int = 64,
                  dtype: Any = jnp.float32, seed: int = 0,
                  s2d_stem: bool = True, onnx_path: Optional[str] = None,
-                 tight_canvas: bool = False):
-        self.variant = variant
+                 tight_canvas: bool = False, config: Optional[Any] = None):
+        # config: an explicit SCRFDConfig — serve a custom architecture
+        # (e.g. one you trained) instead of a registry variant
+        self.variant = config.name if config is not None else variant
         self.input_size = (input_size[1], input_size[0])  # store as (h, w)
         self.dtype = dtype
         self.conf_thres = conf_thres
@@ -260,9 +262,19 @@ class Detector:
             self.model = scrfd_from_onnx(onnx_path, dtype=dtype)
             variables = self.model.variables
         else:
-            if variant not in SCRFD_CONFIGS:
+            if config is not None:
+                import dataclasses
+
+                from ..models.scrfd import SCRFDNet
+
+                if s2d_stem and not config.s2d_stem:
+                    config = dataclasses.replace(config, s2d_stem=True)
+                self.model = SCRFDNet(config, dtype=dtype)
+            elif variant not in SCRFD_CONFIGS:
                 raise ValueError(f"unknown SCRFD variant {variant!r}")
-            self.model = build_scrfd(variant, dtype=dtype, s2d_stem=s2d_stem)
+            else:
+                self.model = build_scrfd(variant, dtype=dtype,
+                                         s2d_stem=s2d_stem)
             if variables is None:
                 from ..models.init_utils import cpu_init
 

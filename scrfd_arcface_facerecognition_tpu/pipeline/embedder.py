@@ -140,9 +140,14 @@ class Embedder:
     def __init__(self, variant: str = "w600k_r50",
                  variables: Optional[Any] = None,
                  dtype: Any = jnp.float32, seed: int = 0,
-                 onnx_path: Optional[str] = None):
-        self.variant = variant
+                 onnx_path: Optional[str] = None,
+                 config: Optional[Any] = None):
+        # config: an explicit ArcFaceConfig — serve a custom architecture
+        # (e.g. one you trained) instead of a registry variant
+        self.variant = config.name if config is not None else variant
         self.input_size = (112, 112)
+        # all released graphs embed to 512; custom configs may differ
+        self.emb_dim = getattr(config, "emb_dim", 512) if config else 512
         if onnx_path is not None:
             if variables is not None:
                 raise ValueError(
@@ -154,9 +159,16 @@ class Embedder:
             self.model = arcface_from_onnx(onnx_path, dtype=dtype)
             variables = self.model.variables
         else:
-            if variant not in ARCFACE_CONFIGS:
+            if config is not None:
+                from ..models.arcface import IResNet, MobileFaceNet
+
+                self.model = (IResNet(config, dtype=dtype)
+                              if config.arch == "iresnet"
+                              else MobileFaceNet(config, dtype=dtype))
+            elif variant not in ARCFACE_CONFIGS:
                 raise ValueError(f"unknown ArcFace variant {variant!r}")
-            self.model = build_arcface(variant, dtype=dtype)
+            else:
+                self.model = build_arcface(variant, dtype=dtype)
             if variables is None:
                 from ..models.init_utils import cpu_init
 

@@ -204,8 +204,12 @@ class FacePipeline:
         # the parity discussion. Reference-parity runs pass False.
         self.tight_canvas = tight_canvas
         self.gallery_capacity = gallery_capacity
+        # gallery rows match the embedder's output dim (512 for every
+        # released graph; custom configs may differ)
+        self.emb_dim = getattr(self.embedder, "emb_dim", 512)
         self.names: list = []
-        self._gallery = jnp.zeros((gallery_capacity, 512), jnp.float32)
+        self._gallery = jnp.zeros((gallery_capacity, self.emb_dim),
+                                  jnp.float32)
         self._gallery_valid = jnp.zeros((gallery_capacity,), bool)
         self._jitted = {}
 
@@ -217,14 +221,15 @@ class FacePipeline:
         Zero-pads to the static gallery capacity so gallery growth up to
         capacity never triggers recompilation.
         """
-        embs = np.asarray(embeddings, dtype=np.float32).reshape(-1, 512)
+        embs = np.asarray(embeddings,
+                          dtype=np.float32).reshape(-1, self.emb_dim)
         g = len(embs)
         if g > self.gallery_capacity:
             raise ValueError(f"gallery ({g}) exceeds capacity "
                              f"({self.gallery_capacity})")
         if len(names) != g:
             raise ValueError("names/embeddings length mismatch")
-        buf = np.zeros((self.gallery_capacity, 512), np.float32)
+        buf = np.zeros((self.gallery_capacity, self.emb_dim), np.float32)
         buf[:g] = embs
         valid = np.zeros((self.gallery_capacity,), bool)
         valid[:g] = True
@@ -463,7 +468,7 @@ class FacePipeline:
             return PipelineOutput(
                 boxes=det.boxes, scores=det.scores, kps=det.kps,
                 valid=det.valid, count=det.count,
-                embeddings=jnp.zeros((b, k, 512), jnp.float32),
+                embeddings=jnp.zeros((b, k, self.emb_dim), jnp.float32),
                 match_idx=jnp.full((b, k), -1, jnp.int32),
                 match_sim=jnp.zeros((b, k), jnp.float32))
         # policy: clean batch -> pure pallas; a few envelope violations ->

@@ -155,3 +155,41 @@ def test_multistream_cli(tmp_path, monkeypatch):
     assert res["frames"] == 8          # 5 + 3 across both streams
     import os as _os
     assert sorted(_os.listdir(out_dir)) == ["stream_0.mp4", "stream_1.mp4"]
+
+
+@pytest.mark.slow
+def test_run_disagg_deployment(tmp_path, monkeypatch):
+    """--disagg N: the realtime CLI serves through DisaggPipeline on the
+    virtual mesh, including the padded final partial batch (6 frames,
+    batch 4 -> batches of 4 and 2, 2 padded to 4 for the device groups)."""
+    import jax.numpy as jnp
+    from scrfd_arcface_facerecognition_tpu.pipeline import FacePipeline
+    import scrfd_arcface_facerecognition_tpu.apps.realtime as rt
+
+    video = tmp_path / "in.mp4"
+    _make_video(video)
+    faces_dir = tmp_path / "faces"
+    faces_dir.mkdir()
+    cv2.imwrite(str(faces_dir / "alice.jpg"),
+                np.full((96, 96, 3), 100, np.uint8))
+
+    made = {}
+
+    def tiny_pipeline(**kw):
+        pipe = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
+                            conf_thres=0.0, pre_nms=16, max_det=2,
+                            gallery_capacity=8, seed=0)
+        made["pipe"] = pipe
+        return pipe
+
+    monkeypatch.setattr("scrfd_arcface_facerecognition_tpu.apps.realtime."
+                        "FacePipeline", tiny_pipeline)
+    out_path = tmp_path / "out.mp4"
+    result = rt.run(rt.parse_args([
+        "--source", str(video), "--faces-dir", str(faces_dir),
+        "--output", str(out_path), "--batch", "4", "--disagg", "4",
+        "--confidence-thresh", "0.0"]))
+    assert result["frames"] == 6
+    cap = cv2.VideoCapture(str(out_path))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    cap.release()

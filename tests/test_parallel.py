@@ -203,3 +203,132 @@ def test_set_gallery_invalidates_dp_placement_cache():
     out2 = pipe(frames)  # re-placement happens against the new gallery
     # gallery row 2 is now valid: sims against it must be finite/considered
     assert np.asarray(out2.match_sim).shape == np.asarray(out1.match_sim).shape
+
+
+# ---------------------------------------------------------------------------
+# Stage disaggregation (the PP axis): detect group | embed group
+# ---------------------------------------------------------------------------
+
+def _tiny_pipe(rng, gallery_rows=3):
+    from scrfd_arcface_facerecognition_tpu.pipeline import FacePipeline
+
+    pipe = FacePipeline(det_variant="det_500m", rec_variant="w600k_mbf",
+                        conf_thres=0.0, pre_nms=16, max_det=2,
+                        gallery_capacity=8, seed=0)
+    g = rng.normal(size=(gallery_rows, 512)).astype(np.float32)
+    pipe.set_gallery(g, [f"p{i}" for i in range(gallery_rows)])
+    return pipe
+
+
+def test_disagg_matches_colocated():
+    """Detect on devices 0-3, embed on 4-7: outputs match the single-device
+    pipeline (same jit closures, different placement)."""
+    from scrfd_arcface_facerecognition_tpu.parallel import (
+        DisaggPipeline, split_devices)
+
+    rng = np.random.default_rng(7)
+    pipe = _tiny_pipe(rng)
+    det_g, emb_g = split_devices()
+    assert len(det_g) == 4 and len(emb_g) == 4
+    server = DisaggPipeline(pipe, det_g, emb_g)
+
+    frames = rng.integers(0, 255, size=(8, 96, 96, 3), dtype=np.uint8)
+    out = server(frames)
+    out_ref = pipe(jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(out.embeddings),
+                               np.asarray(out_ref.embeddings), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.valid),
+                                  np.asarray(out_ref.valid))
+    np.testing.assert_array_equal(np.asarray(out.match_idx),
+                                  np.asarray(out_ref.match_idx))
+    # stage placement actually happened: detect weights live ONLY on the
+    # det group, embedder weights ONLY on the emb group
+    det_dev = {d.id for d in jax.tree.leaves(
+        server._det_vars)[0].sharding.device_set}
+    emb_dev = {d.id for d in jax.tree.leaves(
+        server._emb_placed()[1])[0].sharding.device_set}
+    assert det_dev == {d.id for d in det_g}
+    assert emb_dev == {d.id for d in emb_g}
+
+
+def test_disagg_stream_pipelines_batches():
+    from scrfd_arcface_facerecognition_tpu.parallel import (
+        DisaggPipeline, split_devices)
+
+    rng = np.random.default_rng(8)
+    pipe = _tiny_pipe(rng)
+    server = DisaggPipeline(pipe, *split_devices(n_det=2))
+    batches = [rng.integers(0, 255, size=(6, 96, 96, 3), dtype=np.uint8)
+               for _ in range(4)]
+    outs = list(server.process_stream(iter(batches), depth=2))
+    assert len(outs) == 4
+    ref = [pipe(jnp.asarray(b)) for b in batches]
+    for o, r in zip(outs, ref):
+        np.testing.assert_allclose(np.asarray(o.embeddings),
+                                   np.asarray(r.embeddings), atol=1e-4)
+
+
+def test_disagg_set_gallery_repicks_placement():
+    """set_gallery on the wrapped pipeline must reach the embed group on
+    the next call (the placement cache keys on the source objects)."""
+    from scrfd_arcface_facerecognition_tpu.parallel import (
+        DisaggPipeline, split_devices)
+
+    rng = np.random.default_rng(9)
+    pipe = _tiny_pipe(rng, gallery_rows=2)
+    server = DisaggPipeline(pipe, *split_devices())
+    frames = rng.integers(0, 255, size=(8, 96, 96, 3), dtype=np.uint8)
+    server(frames)
+    first = server._emb_state[2][2]
+    pipe.set_gallery(rng.normal(size=(3, 512)).astype(np.float32),
+                     ["a", "b", "c"])
+    server(frames)
+    assert server._emb_state[2][2] is not first
+    np.testing.assert_allclose(
+        np.asarray(server._emb_state[2][2])[:3],
+        np.asarray(pipe._gallery)[:3], atol=1e-6)
+
+
+def test_disagg_rejects_bad_configs():
+    import pytest
+    from scrfd_arcface_facerecognition_tpu.parallel import (
+        DisaggPipeline, split_devices)
+
+    rng = np.random.default_rng(10)
+    pipe = _tiny_pipe(rng)
+    devs = jax.devices()
+    with pytest.raises(ValueError, match="overlap"):
+        DisaggPipeline(pipe, devs[:5], devs[4:])
+    with pytest.raises(ValueError, match="non-empty"):
+        split_devices(n_det=8)
+    server = DisaggPipeline(pipe, *split_devices())
+    with pytest.raises(ValueError, match="not divisible"):
+        server(rng.integers(0, 255, size=(6, 96, 96, 3), dtype=np.uint8))
+
+
+def test_custom_config_pipeline_serves():
+    """Detector(config=...)/Embedder(config=...) serve custom architectures
+    (e.g. ones trained here) through the full FacePipeline, including a
+    non-512 embedding dim."""
+    from scrfd_arcface_facerecognition_tpu.models.arcface import (
+        ArcFaceConfig, )
+    from scrfd_arcface_facerecognition_tpu.models.scrfd import SCRFDConfig
+    from scrfd_arcface_facerecognition_tpu.pipeline import (
+        Detector, Embedder, FacePipeline)
+
+    det_cfg = SCRFDConfig("tiny_det", 8, (1, 1, 1, 1), (8, 8, 16, 16),
+                          neck_filters=8, head_stacks=1, head_filters=16)
+    emb_cfg = ArcFaceConfig(name="tiny_emb", arch="mobilefacenet",
+                            mbf_blocks=(1, 1, 1, 1), mbf_scale=1, emb_dim=64)
+    pipe = FacePipeline(
+        detector=Detector(config=det_cfg, conf_thres=0.0, pre_nms=8,
+                          max_det=2, seed=0, input_size=(64, 64)),
+        embedder=Embedder(config=emb_cfg, seed=1),
+        gallery_capacity=8)
+    assert pipe.emb_dim == 64
+    rng = np.random.default_rng(11)
+    pipe.set_gallery(rng.normal(size=(3, 64)).astype(np.float32),
+                     ["a", "b", "c"])
+    out = pipe(rng.integers(0, 255, size=(2, 48, 64, 3), dtype=np.uint8))
+    assert out.embeddings.shape == (2, 2, 64)
+    assert np.isfinite(np.asarray(out.embeddings)).all()
