@@ -178,8 +178,11 @@ class PQCodec:
         return c.reshape(codes.shape[0], self.dim)
 
     def lut(self, queries) -> jnp.ndarray:
-        """(Q, dim) -> (Q, M, K) inner-product lookup tables."""
-        q = jnp.asarray(np.asarray(queries, np.float32))
+        """(Q, dim) -> (Q, M, K) inner-product lookup tables.
+
+        Tracer-safe (jnp coercion, no host round-trip): PQGallery jit-fuses
+        this into its compiled search program."""
+        q = jnp.asarray(queries, dtype=jnp.float32)
         qs = q.reshape(q.shape[0], self.m, self.sub_dim)
         return jnp.einsum("qms,mks->qmk", qs, self.centroids)
 
@@ -359,6 +362,7 @@ class PQGallery:
         self._valid = jnp.zeros((capacity,), bool)
         self._ids = np.full((capacity,), -1, np.int64)
         self._free = list(range(capacity - 1, -1, -1))  # deleted slots reuse
+        self._jit_search = {}          # k_fetch -> compiled search program
         if mesh is not None:
             sh = NamedSharding(mesh, P(axis, None))
             self._codes = jax.device_put(self._codes, sh)
@@ -468,15 +472,27 @@ class PQGallery:
                                     k_fetch, self.mesh, self.axis,
                                     adc_impl=self.adc_impl)
         else:
-            lut = self.codec.lut(q)
-            if self.adc_impl == "mxu":
-                scores = adc_scores_mxu(
-                    lut, self._codes,
-                    interpret=jax.default_backend() != "tpu")
-            else:
-                scores = adc_scores(lut, self._codes)
-            scores = jnp.where(self._valid[None], scores, -jnp.inf)
-            s, i = jax.lax.top_k(scores, min(k_fetch, self.capacity))
+            # ONE compiled program for lut -> ADC -> mask -> top-k: eager
+            # op-by-op dispatch costs more than the kernel itself at
+            # G=10M through a remote transport (833 -> ~250 ms, PERF.md)
+            fn = self._jit_search.get(k_fetch)
+            if fn is None:
+                impl, cap = self.adc_impl, self.capacity
+                interp = jax.default_backend() != "tpu"
+                codec = self.codec
+
+                def _search(qd, codes, valid):
+                    lut = codec.lut(qd)
+                    if impl == "mxu":
+                        scores = adc_scores_mxu(lut, codes,
+                                                interpret=interp)
+                    else:
+                        scores = adc_scores(lut, codes)
+                    scores = jnp.where(valid[None], scores, -jnp.inf)
+                    return jax.lax.top_k(scores, min(k_fetch, cap))
+
+                fn = self._jit_search[k_fetch] = jax.jit(_search)
+            s, i = fn(jnp.asarray(q), self._codes, self._valid)
         s = np.asarray(s)
         i = np.asarray(i)
         if s.shape[1] < k_fetch:
