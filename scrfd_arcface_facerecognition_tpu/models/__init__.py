@@ -12,10 +12,11 @@ from .arcface import (
 )
 from .scrfd import SCRFDConfig, SCRFDNet, SCRFD_CONFIGS, build_scrfd
 from .checkpoints import load_inference_variables
+from .config_from_graph import flax_from_onnx, infer_config
 
 __all__ = [
     "PReLU", "ConvBN", "conv_kernel_init",
     "ArcFaceConfig", "IResNet", "MobileFaceNet", "ARCFACE_CONFIGS", "build_arcface",
     "SCRFDConfig", "SCRFDNet", "SCRFD_CONFIGS", "build_scrfd",
-    "load_inference_variables",
+    "load_inference_variables", "flax_from_onnx", "infer_config",
 ]

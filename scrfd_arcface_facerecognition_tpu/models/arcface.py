@@ -37,6 +37,30 @@ class ArcFaceConfig:
     # mobilefacenet
     mbf_blocks: Sequence[int] = (1, 4, 6, 2)
     mbf_scale: int = 2
+    # Explicit MobileFaceNet widths. None -> the public get_mbf defaults
+    # derived from mbf_scale; config_from_graph fills them from the actual
+    # conv shapes of a released/foreign .onnx so imports never depend on
+    # the scale-derived guesses.
+    mbf_stem_filters: Any = None        # default 64*scale
+    mbf_stem_dw_groups: Any = None      # default 64
+    mbf_stage_filters: Any = None       # per-stage out, default (64s,128s,128s)
+    mbf_down_groups: Any = None         # downsample dw groups (128, 256, 512)
+    mbf_res_groups: Any = None          # residual dw groups (128, 128, 256, 256)
+    mbf_sep_filters: Any = None         # conv_sep/GDC width, default 512
+    def mbf_widths(self) -> dict:
+        """Effective MobileFaceNet widths (explicit fields, else the
+        public insightface get_mbf defaults derived from mbf_scale)."""
+        s = self.mbf_scale
+        return {
+            "stem": self.mbf_stem_filters or 64 * s,
+            "stem_dw_groups": self.mbf_stem_dw_groups or 64,
+            "stage_filters": tuple(self.mbf_stage_filters
+                                   or (64 * s, 128 * s, 128 * s)),
+            "down_groups": tuple(self.mbf_down_groups or (128, 256, 512)),
+            "res_groups": tuple(self.mbf_res_groups or (128, 128, 256, 256)),
+            "sep": self.mbf_sep_filters or 512,
+        }
+
     # Phase-split s2d stem (iresnet): the stride-1 3-channel stem conv
     # wastes ~42x of its MXU window on channel padding; the split runs the
     # exact same math as four 2x2 convs over a 12-channel packing
@@ -154,36 +178,36 @@ class MobileFaceNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
-        s = cfg.mbf_scale
-        c64, c128 = 64 * s, 128 * s
+        w = cfg.mbf_widths()
+        stem, sep = w["stem"], w["sep"]
         x = x.astype(self.dtype)
-        x = ConvBN(c64, (3, 3), strides=(2, 2), padding=1, prelu=True,
+        x = ConvBN(stem, (3, 3), strides=(2, 2), padding=1, prelu=True,
                    dtype=self.dtype, name="stem")(x, train=train)
         if cfg.mbf_blocks[0] == 1:
-            x = ConvBN(c64, (3, 3), padding=1, groups=64, prelu=True,
-                       dtype=self.dtype, name="stem_dw")(x, train=train)
+            x = ConvBN(stem, (3, 3), padding=1, groups=w["stem_dw_groups"],
+                       prelu=True, dtype=self.dtype,
+                       name="stem_dw")(x, train=train)
         else:
             for bi in range(cfg.mbf_blocks[0]):
-                x = MBFDepthWise(c64, 128, 1, residual=True,
+                x = MBFDepthWise(stem, w["res_groups"][0], 1, residual=True,
                                  dtype=self.dtype,
                                  name=f"stage0_block{bi}")(x, train=train)
         # (out_channels, downsample group width, residual block count);
-        # residual blocks use the narrower 128/256 group widths below
-        stages = [(c64, 128, cfg.mbf_blocks[1]),
-                  (c128, 256, cfg.mbf_blocks[2]),
-                  (c128, 512, cfg.mbf_blocks[3])]
+        # residual blocks use the narrower res_groups widths
+        stages = [(w["stage_filters"][si], w["down_groups"][si],
+                   cfg.mbf_blocks[si + 1]) for si in range(3)]
         for si, (c, g_down, n) in enumerate(stages):
             x = MBFDepthWise(c, g_down, 2, dtype=self.dtype,
                              name=f"down{si}")(x, train=train)
-            res_groups = 128 if si == 0 else 256
             for bi in range(n):
-                x = MBFDepthWise(c, res_groups, 1, residual=True,
+                x = MBFDepthWise(c, w["res_groups"][si + 1], 1, residual=True,
                                  dtype=self.dtype,
                                  name=f"stage{si + 1}_block{bi}")(x, train=train)
-        x = ConvBN(512, (1, 1), padding=0, prelu=True,
+        x = ConvBN(sep, (1, 1), padding=0, prelu=True,
                    dtype=self.dtype, name="conv_sep")(x, train=train)
-        # Global depthwise conv over the 7x7 map (GDC), linear.
-        x = ConvBN(512, (7, 7), padding=0, groups=512,
+        # Global depthwise conv over the final map (GDC: 7x7 for 112 input).
+        gk = cfg.input_size[0] // 16
+        x = ConvBN(sep, (gk, gk), padding=0, groups=sep,
                    dtype=self.dtype, name="gdc")(x, train=train)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(cfg.emb_dim, use_bias=False, dtype=self.dtype, name="fc")(x)

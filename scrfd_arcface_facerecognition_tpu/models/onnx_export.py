@@ -297,11 +297,18 @@ def _export_mbf(model, variables, path=None) -> bytes:
                         groups=int(groups), prelu=True)
         return g.conv_bn(out, up["project"], ub["project"], pads=0)
 
+    def conv_groups(unit_p):
+        """Group count of a same-width grouped conv from its Flax kernel
+        (kh, kw, cin/g, out) — cin == out for every mbf grouped conv, so
+        g = out // (cin/g)."""
+        k = np.asarray(unit_p["conv"]["kernel"])
+        return int(k.shape[3]) // int(k.shape[2])
+
     x = g.conv_bn(g.input_name, p["stem"], bs["stem"], stride=2, pads=1,
                   prelu=True)
     if cfg.mbf_blocks[0] == 1:
-        x = g.conv_bn(x, p["stem_dw"], bs["stem_dw"], pads=1, groups=64,
-                      prelu=True)
+        x = g.conv_bn(x, p["stem_dw"], bs["stem_dw"], pads=1,
+                      groups=conv_groups(p["stem_dw"]), prelu=True)
     else:
         for bi in range(cfg.mbf_blocks[0]):
             x = g.add(dw_unit(x, f"stage0_block{bi}", 1), x)
@@ -310,7 +317,7 @@ def _export_mbf(model, variables, path=None) -> bytes:
         for bi in range(n):
             x = g.add(dw_unit(x, f"stage{si + 1}_block{bi}", 1), x)
     x = g.conv_bn(x, p["conv_sep"], bs["conv_sep"], pads=0, prelu=True)
-    x = g.conv_bn(x, p["gdc"], bs["gdc"], pads=0, groups=512)
+    x = g.conv_bn(x, p["gdc"], bs["gdc"], pads=0, groups=conv_groups(p["gdc"]))
     x = g.flatten(x)   # (B, 512, 1, 1): NCHW and NHWC flatten agree
     x = g.gemm(x, p["fc"]["kernel"], p["fc"].get("bias"))
     x = g.batchnorm(x, p["features_bn"], bs["features_bn"])
@@ -402,7 +409,8 @@ def export_scrfd(model, variables, path: Optional[str] = None) -> bytes:
             tw = hp[f"tower{i}"]
             t = g.conv(t, tw["conv"]["kernel"], tw["conv"].get("bias"),
                        pads=1, wname=f"tower{i}_w")
-            t = g.groupnorm(t, tw["gn"], groups=16, wname=f"tower{i}_gn")
+            t = g.groupnorm(t, tw["gn"], groups=getattr(cfg, "gn_groups", 16),
+                            wname=f"tower{i}_gn")
             t = g.relu(t)
         s = g.conv(t, hp["cls"]["kernel"], hp["cls"].get("bias"), pads=1,
                    wname="cls_w")

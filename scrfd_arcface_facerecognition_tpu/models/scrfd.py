@@ -41,6 +41,10 @@ class SCRFDConfig:
     strides: Sequence[int] = (8, 16, 32)
     num_anchors: int = 2
     num_kps: int = 5
+    # Head GroupNorm group count. The released graphs encode it in their
+    # InstanceNormalization lowering; config_from_graph reads it from the
+    # file instead of trusting this default.
+    gn_groups: int = 16
     # Space-to-depth stem: the (H, W, 3) input pads its 3-channel minor dim
     # 42x in the TPU conv layout, making the first conv bandwidth-bound
     # (~44% of the whole forward). s2d repacks to (H/2, W/2, 12) and an
@@ -278,6 +282,7 @@ class PAFPN(nn.Module):
 class GNConv(nn.Module):
     """3x3 conv + GroupNorm + ReLU (head tower unit)."""
     filters: int
+    groups: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -285,8 +290,8 @@ class GNConv(nn.Module):
         x = nn.Conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)],
                     kernel_init=conv_kernel_init, dtype=self.dtype,
                     name="conv")(x)
-        x = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype,
-                         name="gn")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype, name="gn")(x)
         return nn.relu(x)
 
 
@@ -303,7 +308,8 @@ class SCRFDHead(nn.Module):
     def __call__(self, feats: List[jnp.ndarray]) -> Dict[str, List[jnp.ndarray]]:
         cfg = self.config
         a = cfg.num_anchors
-        tower = [GNConv(cfg.head_filters, dtype=self.dtype, name=f"tower{i}")
+        tower = [GNConv(cfg.head_filters, groups=cfg.gn_groups,
+                        dtype=self.dtype, name=f"tower{i}")
                  for i in range(cfg.head_stacks)]
         cls_conv = nn.Conv(a * 1, (3, 3), padding=[(1, 1), (1, 1)],
                            kernel_init=nn.initializers.normal(0.01),

@@ -148,13 +148,13 @@ class SCRFDHeadTorch(nn.Module):
     """Stacked conv+GN+ReLU tower shared across levels; cls/box/kps convs."""
 
     def __init__(self, cin: int, feat: int, stacks: int, anchors: int = 2,
-                 kps: int = 5):
+                 kps: int = 5, gn_groups: int = 16):
         super().__init__()
         tower = []
         for i in range(stacks):
             tower.append(nn.Conv2d(cin if i == 0 else feat, feat, 3,
                                    padding=1, bias=False))
-            tower.append(nn.GroupNorm(16, feat))
+            tower.append(nn.GroupNorm(gn_groups, feat))
             tower.append(nn.ReLU(inplace=False))
         self.tower = nn.Sequential(*tower)
         self.cls = nn.Conv2d(feat, anchors * 1, 3, padding=1)
@@ -180,11 +180,12 @@ class TorchSCRFD(nn.Module):
 
     def __init__(self, stem=56, blocks=(3, 5, 2, 3),
                  planes=(56, 56, 144, 248), neck=56, head_feat=80,
-                 head_stacks=3):
+                 head_stacks=3, gn_groups=16):
         super().__init__()
         self.backbone = ResNetV1e(stem, blocks, planes)
         self.neck = PAFPNTorch(planes[1:], neck)
-        self.head = SCRFDHeadTorch(neck, head_feat, head_stacks)
+        self.head = SCRFDHeadTorch(neck, head_feat, head_stacks,
+                                   gn_groups=gn_groups)
         self.scales = nn.Parameter(torch.ones(3))
 
     def forward(self, x):
@@ -308,28 +309,34 @@ class TorchMobileFaceNet(nn.Module):
     and the GDC head; exports the exact ONNX op patterns the released file
     uses (grouped Conv, PReLU with per-channel slopes, 7x7 depthwise)."""
 
-    def __init__(self, blocks=(1, 4, 6, 2), scale=2, emb=512):
+    def __init__(self, blocks=(1, 4, 6, 2), scale=2, emb=512,
+                 stem_filters=None, stem_dw_groups=64, stage_filters=None,
+                 down_groups=(128, 256, 512),
+                 res_groups=(128, 128, 256, 256), sep_filters=512):
         super().__init__()
         c64, c128 = 64 * scale, 128 * scale
-        layers = [MBFConvBlock(3, c64, 3, 2, 1)]
+        stem = stem_filters or c64
+        sf = tuple(stage_filters or (c64, c128, c128))
+        layers = [MBFConvBlock(3, stem, 3, 2, 1)]
         if blocks[0] == 1:
-            layers.append(MBFConvBlock(c64, c64, 3, 1, 1, groups=64))
+            layers.append(MBFConvBlock(stem, stem, 3, 1, 1,
+                                       groups=stem_dw_groups))
         else:
-            layers += [MBFDepthWise(c64, c64, 128, 1, residual=True)
+            layers += [MBFDepthWise(stem, stem, res_groups[0], 1,
+                                    residual=True)
                        for _ in range(blocks[0])]
-        layers.append(MBFDepthWise(c64, c64, 128, 2))
-        layers += [MBFDepthWise(c64, c64, 128, 1, residual=True)
-                   for _ in range(blocks[1])]
-        layers.append(MBFDepthWise(c64, c128, 256, 2))
-        layers += [MBFDepthWise(c128, c128, 256, 1, residual=True)
-                   for _ in range(blocks[2])]
-        layers.append(MBFDepthWise(c128, c128, 512, 2))
-        layers += [MBFDepthWise(c128, c128, 256, 1, residual=True)
-                   for _ in range(blocks[3])]
+        cin = stem
+        for si in range(3):
+            layers.append(MBFDepthWise(cin, sf[si], down_groups[si], 2))
+            layers += [MBFDepthWise(sf[si], sf[si], res_groups[si + 1], 1,
+                                    residual=True)
+                       for _ in range(blocks[si + 1])]
+            cin = sf[si]
         self.body = nn.Sequential(*layers)
-        self.conv_sep = MBFConvBlock(c128, 512, 1, 1, 0)
-        self.gdc = MBFLinearBlock(512, 512, 7, 1, 0, groups=512)
-        self.fc = nn.Linear(512, emb, bias=False)
+        self.conv_sep = MBFConvBlock(cin, sep_filters, 1, 1, 0)
+        self.gdc = MBFLinearBlock(sep_filters, sep_filters, 7, 1, 0,
+                                  groups=sep_filters)
+        self.fc = nn.Linear(sep_filters, emb, bias=False)
         self.features = nn.BatchNorm1d(emb)
 
     def forward(self, x):
@@ -355,6 +362,23 @@ STAND_INS = {
     "det_10g": lambda: TorchSCRFD(),
     "w600k_mbf": lambda: TorchMobileFaceNet(),
     "w600k_r50": lambda: TorchIResNet(blocks=(3, 4, 14, 3)),
+}
+
+# Width/depth-MUTATED stand-ins: every knob deliberately perturbed away
+# from SCRFD_CONFIGS / ARCFACE_CONFIGS. If the real released graphs' NAS
+# widths differ from the registry guesses, loading must still work — these
+# prove config_from_graph + the ordered importer handle graphs the
+# registry has never heard of (VERDICT r3 item 1).
+MUTATED_STAND_INS = {
+    "det_10g": lambda: TorchSCRFD(stem=40, blocks=(2, 4, 3, 2),
+                                  planes=(40, 64, 120, 200), neck=48,
+                                  head_feat=72, head_stacks=2, gn_groups=8),
+    "w600k_mbf": lambda: TorchMobileFaceNet(
+        blocks=(1, 3, 5, 2), scale=2, stem_filters=96, stem_dw_groups=48,
+        stage_filters=(96, 192, 320), down_groups=(192, 320, 448),
+        res_groups=(96, 96, 192, 320), sep_filters=448),
+    "w600k_r50": lambda: TorchIResNet(blocks=(2, 3, 8, 2),
+                                      planes=(48, 96, 176, 400)),
 }
 
 

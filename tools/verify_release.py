@@ -72,44 +72,54 @@ def load_images(images_dir: str, n: int):
     return imgs
 
 
-def resolve_graph(name: str, weights_dir: str, tmpdir: str):
+def resolve_graph(name: str, weights_dir: str, tmpdir: str,
+                  mutate: bool = False):
     """-> (onnx_path, oracle_forward_builder, mode). In stand-in mode the
     oracle is the seeded torch module; in real mode the oracle is the
-    ordered-importer Flax model (independent load path)."""
+    ordered-importer Flax model (independent load path). mutate=True swaps
+    in width/depth-perturbed stand-ins (MUTATED_STAND_INS) to prove the
+    load path derives the architecture from the graph, not the registry."""
     import torch
-    from torch_export import (STAND_INS, calibrate_detector, export_onnx,
-                              seeded)
+    from torch_export import (MUTATED_STAND_INS, STAND_INS,
+                              calibrate_detector, export_onnx, seeded)
 
     real = os.path.join(weights_dir, f"{name}.onnx") if weights_dir else None
     if real and os.path.exists(real):
         return real, None, "real"
     import zlib
 
+    ctors = dict(STAND_INS)
+    mode = "standin"
+    if mutate:
+        ctors.update(MUTATED_STAND_INS)
+        if name in MUTATED_STAND_INS:
+            mode = "mutated"
     # deterministic per-name seed (str hash() is salted per process, which
     # would re-randomize the stand-in weights on every invocation)
-    tm = seeded(STAND_INS[name](), seed=zlib.crc32(name.encode()) % 1000)
+    tm = seeded(ctors[name](), seed=zlib.crc32(name.encode()) % 1000)
     if name.startswith("det"):
         tm = calibrate_detector(tm)
     path = os.path.join(tmpdir, f"{name}_standin.onnx")
     os.makedirs(tmpdir, exist_ok=True)
     shape = (1, 3, 640, 640) if name.startswith("det") else (1, 3, 112, 112)
     export_onnx(tm, torch.randn(*shape), path)
-    return path, tm, "standin"
+    return path, tm, mode
 
 
 def importer_forwards(name: str, onnx_path: str):
-    """Ordered-importer Flax model forward callbacks."""
-    from scrfd_arcface_facerecognition_tpu.models.scrfd import build_scrfd
-    from scrfd_arcface_facerecognition_tpu.models.arcface import build_arcface
-    from scrfd_arcface_facerecognition_tpu.models import onnx_import as oi
+    """Ordered-importer Flax model forward callbacks.
+
+    The architecture is INFERRED from the graph (config_from_graph), never
+    looked up in SCRFD_CONFIGS/ARCFACE_CONFIGS — released files whose NAS
+    widths differ from the registry guesses still sign off (--mutate
+    exercises exactly that)."""
+    from scrfd_arcface_facerecognition_tpu.models.config_from_graph import (
+        flax_from_onnx)
     import e2e_oracle as eo
 
+    m, v = flax_from_onnx(onnx_path, name=name)
     if name.startswith("det"):
-        m = build_scrfd(name)
-        v = oi.load_scrfd_weights(m, onnx_path)
         return eo.flax_det_forward(m, v)
-    m = build_arcface(name)
-    v = oi.load_arcface_weights(m, onnx_path)
     return eo.flax_rec_forward(m, v)
 
 
@@ -194,22 +204,15 @@ def export_roundtrip(name: str, onnx_path: str, imgs, tmpdir: str):
     the released weights, fine-tune or not, and redeploy a file this
     framework produced."""
     import e2e_oracle as eo
-    from scrfd_arcface_facerecognition_tpu.models.scrfd import build_scrfd
-    from scrfd_arcface_facerecognition_tpu.models.arcface import (
-        build_arcface)
-    from scrfd_arcface_facerecognition_tpu.models import onnx_import as oi
+    from scrfd_arcface_facerecognition_tpu.models.config_from_graph import (
+        flax_from_onnx)
     from scrfd_arcface_facerecognition_tpu.models.onnx_export import (
         export_model)
 
     is_det = name.startswith("det")
-    if is_det:
-        m = build_scrfd(name)
-        v = oi.load_scrfd_weights(m, onnx_path)
-        flax_fwd = eo.flax_det_forward(m, v)
-    else:
-        m = build_arcface(name)
-        v = oi.load_arcface_weights(m, onnx_path)
-        flax_fwd = eo.flax_rec_forward(m, v)
+    m, v = flax_from_onnx(onnx_path, name=name)
+    flax_fwd = (eo.flax_det_forward(m, v) if is_det
+                else eo.flax_rec_forward(m, v))
     rt_path = os.path.join(tmpdir, f"{name}_roundtrip.onnx")
     export_model(m, v, rt_path)
     exec_fwd = executor_forwards(rt_path, is_det)
@@ -413,6 +416,10 @@ def main():
                          "round-trip leg")
     ap.add_argument("--conf-thres", type=float, default=None,
                     help="override the auto-picked sign-off threshold")
+    ap.add_argument("--mutate", action="store_true",
+                    help="use width/depth-perturbed stand-ins (proves the "
+                         "importer derives architecture from the graph, "
+                         "not the registry)")
     args = ap.parse_args()
 
     if args.backend:
@@ -432,9 +439,10 @@ def main():
     ok = True
     for name in DETS + RECS:
         is_det = name.startswith("det")
-        path, tm, mode = resolve_graph(name, args.weights, tmpdir)
+        path, tm, mode = resolve_graph(name, args.weights, tmpdir,
+                                       mutate=args.mutate)
         paths[name], modes[name] = path, mode
-        if mode == "standin":
+        if mode in ("standin", "mutated"):
             oracle_fwds[name] = torch_forward(tm, is_det)
         else:
             # real file: the importer IS the independent oracle path, so
@@ -444,8 +452,8 @@ def main():
             # against itself: a tautological PASS)
             oracle_fwds[name] = importer_forwards(name, path)
         w = graph_parity(name, path, oracle_fwds[name], imgs,
-                         compare_importer=(mode == "standin"))
-        imp_cell = (f"{w['imp_diff']:.2e}" if mode == "standin"
+                         compare_importer=(mode != "real"))
+        imp_cell = (f"{w['imp_diff']:.2e}" if mode != "real"
                     else "(=oracle)")
         if args.skip_export:
             rt_cell, rt_pass = "-", True
