@@ -84,6 +84,63 @@ int fp_pop(void* q, uint8_t* out, int timeout_ms) {
     return 1;
 }
 
+// ---------------------------------------------------------------------------
+// Zero-copy producer/consumer API. The copying fp_push/fp_pop pair costs
+// four 6 MB memcpys per 1080p frame end to end (decode buffer -> bytes ->
+// ring -> pop buffer -> batch row); reserve/commit and peek/release let the
+// decoder write INTO the ring slot and the consumer assemble batches OUT of
+// it, leaving exactly one unavoidable copy (batch assembly). SPSC contract:
+// at most one outstanding reserve (producer) and one outstanding peek
+// (consumer) at a time.
+// ---------------------------------------------------------------------------
+
+// Producer: pointer to the next write slot, or nullptr on timeout/closed.
+// The caller decodes into it, then fp_commit() publishes the frame.
+uint8_t* fp_reserve(void* q, int timeout_ms) {
+    auto* p = static_cast<FramePipe*>(q);
+    if (!p) return nullptr;
+    std::unique_lock<std::mutex> lock(p->mu);
+    if (!p->not_full.wait_for(lock, std::chrono::milliseconds(timeout_ms),
+                              [p] { return p->count < p->slots || p->closed; }))
+        return nullptr;
+    if (p->closed) return nullptr;
+    return p->slot_ptr(p->head);
+}
+
+void fp_commit(void* q) {
+    auto* p = static_cast<FramePipe*>(q);
+    if (!p) return;
+    std::lock_guard<std::mutex> lock(p->mu);
+    p->head = (p->head + 1) % p->slots;
+    p->count += 1;
+    p->not_empty.notify_one();
+}
+
+// Consumer: pointer to the oldest committed frame without copying.
+// rc_out: 1 = pointer valid, 0 = timeout, -1 = closed and drained.
+uint8_t* fp_peek(void* q, int timeout_ms, int* rc_out) {
+    auto* p = static_cast<FramePipe*>(q);
+    if (!p) { if (rc_out) *rc_out = 0; return nullptr; }
+    std::unique_lock<std::mutex> lock(p->mu);
+    if (!p->not_empty.wait_for(lock, std::chrono::milliseconds(timeout_ms),
+                               [p] { return p->count > 0 || p->closed; })) {
+        if (rc_out) *rc_out = 0;
+        return nullptr;
+    }
+    if (p->count == 0) { if (rc_out) *rc_out = -1; return nullptr; }
+    if (rc_out) *rc_out = 1;
+    return p->slot_ptr(p->tail);
+}
+
+void fp_release(void* q) {
+    auto* p = static_cast<FramePipe*>(q);
+    if (!p) return;
+    std::lock_guard<std::mutex> lock(p->mu);
+    p->tail = (p->tail + 1) % p->slots;
+    p->count -= 1;
+    p->not_full.notify_one();
+}
+
 void fp_close(void* q) {
     auto* p = static_cast<FramePipe*>(q);
     if (!p) return;

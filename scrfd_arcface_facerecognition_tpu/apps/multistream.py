@@ -38,6 +38,15 @@ def parse_args(argv=None):
                         help="Write annotated <dir>/stream_<i>.mp4 files")
     parser.add_argument("--max-frames", type=int, default=0,
                         help="Stop after this many frames total (0 = all)")
+    parser.add_argument("--decode-pool", action="store_true",
+                        help="Decode in worker PROCESSES via shared memory "
+                             "(runtime/decode_pool.DecodePool) instead of "
+                             "threads — use on multi-core hosts where "
+                             "thread decode can't feed the chip "
+                             "(docs/SERVING.md core budget)")
+    parser.add_argument("--decode-workers", type=int, default=0,
+                        help="Decode processes for --decode-pool "
+                             "(0 = one per core)")
     return parser.parse_args(argv)
 
 
@@ -67,7 +76,14 @@ def run(params) -> dict:
     colors = {name: (random.randint(0, 256), random.randint(0, 256),
                      random.randint(0, 256)) for _, name in targets}
 
-    reader = MultiStreamReader([open_capture(s) for s in params.sources])
+    if getattr(params, "decode_pool", False):
+        from ..runtime.decode_pool import DecodePool
+
+        reader = DecodePool(params.sources,
+                            workers=params.decode_workers or None)
+    else:
+        reader = MultiStreamReader([open_capture(s)
+                                    for s in params.sources])
     writers = {}
     n = 0
     try:
@@ -83,12 +99,18 @@ def run(params) -> dict:
                         # the largest stream ends) would make cv2.VideoWriter
                         # silently drop every mismatched frame, and smaller
                         # streams would bake the zero padding into their mp4s
-                        cap = reader.captures[sid]
-                        sw = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) \
-                            or batch.shape[2]
-                        sh = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) \
-                            or batch.shape[1]
-                        fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
+                        cap = getattr(reader, "captures", None)
+                        cap = cap[sid] if cap is not None else None
+                        if cap is not None:
+                            sw = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) \
+                                or batch.shape[2]
+                            sh = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) \
+                                or batch.shape[1]
+                            fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
+                        else:
+                            # DecodePool captures live in worker processes;
+                            # first-batch dims stand in (uniform cameras)
+                            sw, sh, fps = batch.shape[2], batch.shape[1], 24.0
                         writers[sid] = (cv2.VideoWriter(
                             os.path.join(params.output_dir,
                                          f"stream_{sid}.mp4"),

@@ -64,6 +64,18 @@ def _load():
     lib.fp_size.argtypes = [ctypes.c_void_p]
     lib.fp_closed.restype = ctypes.c_int
     lib.fp_closed.argtypes = [ctypes.c_void_p]
+    # zero-copy ring API (may be absent in a stale pre-r4 build)
+    try:
+        lib.fp_reserve.restype = ctypes.c_void_p
+        lib.fp_reserve.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.fp_commit.argtypes = [ctypes.c_void_p]
+        lib.fp_peek.restype = ctypes.c_void_p
+        lib.fp_peek.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                ctypes.POINTER(ctypes.c_int)]
+        lib.fp_release.argtypes = [ctypes.c_void_p]
+        lib.fp_zero_copy = True
+    except AttributeError:
+        lib.fp_zero_copy = False
     # snapshot
     lib.gs_write.restype = ctypes.c_int
     lib.gs_write.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
@@ -145,6 +157,41 @@ class FramePipe:
                     return None
                 if _time.monotonic() >= deadline:
                     raise TimeoutError("pop timed out")
+
+    # ---- zero-copy SPSC API (native only; callers check zero_copy first)
+
+    @property
+    def zero_copy(self) -> bool:
+        return self._q is not None and getattr(self._lib, "fp_zero_copy",
+                                               False)
+
+    def reserve_view(self, timeout_ms: int = 10000) -> Optional[np.ndarray]:
+        """Producer: uint8 view of the next write slot (decode INTO it),
+        or None on timeout/closed. Must be followed by commit()."""
+        ptr = self._lib.fp_reserve(self._q, timeout_ms)
+        if not ptr:
+            return None
+        return np.ctypeslib.as_array(
+            ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+            (self.slot_bytes,))
+
+    def commit(self) -> None:
+        self._lib.fp_commit(self._q)
+
+    def peek_view(self, timeout_ms: int = 10000):
+        """Consumer: (rc, view) — rc 1 = view valid until release_slot(),
+        rc 0 = timeout, rc -1 = closed and drained."""
+        rc = ctypes.c_int()
+        ptr = self._lib.fp_peek(self._q, timeout_ms, ctypes.byref(rc))
+        if rc.value != 1 or not ptr:
+            return rc.value, None
+        view = np.ctypeslib.as_array(
+            ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+            (self.slot_bytes,))
+        return 1, view
+
+    def release_slot(self) -> None:
+        self._lib.fp_release(self._q)
 
     def close(self) -> None:
         if self._q is not None:
@@ -317,6 +364,22 @@ class NativeVideoReader:
         if rc == 1:
             return True, buf
         return False, None
+
+    def read_into(self, buf: np.ndarray) -> bool:
+        """Decode the next frame DIRECTLY into `buf` (uint8, C-contiguous,
+        >= height*width*3 bytes) — the zero-copy producer path: with a ring
+        slot or shared-memory view as `buf`, the frame never exists
+        anywhere else on the host."""
+        if self._h is None:
+            return False
+        if not buf.flags["C_CONTIGUOUS"]:
+            raise ValueError("read_into needs a C-contiguous buffer")
+        need = self.height * self.width * 3
+        if buf.nbytes < need:
+            raise ValueError(f"buffer too small: {buf.nbytes} < {need}")
+        rc = self._lib.vdec_read(
+            self._h, buf.ctypes.data_as(ctypes.c_void_p), need)
+        return rc == 1
 
     def isOpened(self) -> bool:  # cv2 API mirror
         return self._h is not None

@@ -1,0 +1,189 @@
+"""Multi-process decode pool + zero-copy ring (runtime/decode_pool.py,
+runtime/native.py fp_reserve/fp_peek, runtime/video.py zero-copy paths).
+
+Frame content is the oracle: each synthetic frame encodes its index in the
+pixel values, so ordering, completeness, and bit-exactness are all checked
+against an independent sequential decode of the same file.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scrfd_arcface_facerecognition_tpu.runtime.native import FramePipe
+from scrfd_arcface_facerecognition_tpu.runtime.video import (
+    BatchedFrameReader, open_capture)
+
+pytestmark = pytest.mark.slow
+
+N_FRAMES = 60
+W, H = 320, 240
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("vid") / "seq.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24, (W, H))
+    if not wr.isOpened():
+        pytest.skip("VideoWriter unavailable")
+    for i in range(N_FRAMES):
+        wr.write(np.full((H, W, 3), i * 4 % 251, np.uint8))
+    wr.release()
+    return path
+
+
+def _ref_frames(path):
+    cap = open_capture(path)
+    out = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        out.append(f.copy())
+    cap.release()
+    return np.stack(out)
+
+
+def _frame_index(frame, lut):
+    """Map a decoded frame back to its index via mean pixel value."""
+    return int(np.abs(lut - float(frame.mean())).argmin())
+
+
+# ------------------------------------------------------------- zero-copy ring
+
+
+def test_framepipe_reserve_commit_peek_release():
+    pipe = FramePipe(slot_bytes=64, n_slots=4)
+    if not pipe.zero_copy:
+        pytest.skip("native ring unavailable")
+    for i in range(10):
+        view = pipe.reserve_view(timeout_ms=1000)
+        assert view is not None and view.shape == (64,)
+        view[:] = i
+        pipe.commit()
+        rc, out = pipe.peek_view(timeout_ms=1000)
+        assert rc == 1 and (out == i).all()
+        pipe.release_slot()
+    pipe.close()
+    rc, out = pipe.peek_view(timeout_ms=100)
+    assert rc == -1 and out is None
+
+
+def test_framepipe_zero_copy_interops_with_push():
+    pipe = FramePipe(slot_bytes=8, n_slots=4)
+    if not pipe.zero_copy:
+        pytest.skip("native ring unavailable")
+    pipe.push(b"\x01" * 8)
+    view = pipe.reserve_view()
+    view[:] = 2
+    pipe.commit()
+    assert pipe.pop() == b"\x01" * 8
+    rc, out = pipe.peek_view()
+    assert rc == 1 and (out == 2).all()
+    pipe.release_slot()
+
+
+# -------------------------------------------------- BatchedFrameReader paths
+
+
+def test_batched_reader_zero_copy_bit_exact(video):
+    ref = _ref_frames(video)
+    cap = open_capture(video)
+    r = BatchedFrameReader(cap, batch=7)
+    got = np.concatenate([b.copy() for b in r], axis=0)
+    assert r.close()
+    cap.release()
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_batched_reader_legacy_path_matches(video):
+    ref = _ref_frames(video)
+    cap = open_capture(video)
+    r = BatchedFrameReader(cap, batch=7)
+    # force the copying fallback path
+    r._pipe.__class__ = type("CopyPipe", (r._pipe.__class__,),
+                             {"zero_copy": property(lambda self: False)})
+    got = np.concatenate([b.copy() for b in r], axis=0)
+    r.close()
+    cap.release()
+    np.testing.assert_array_equal(got, ref)
+
+
+# -------------------------------------------------------------- DecodePool
+
+
+def test_decode_pool_complete_ordered(video):
+    from scrfd_arcface_facerecognition_tpu.runtime.decode_pool import (
+        DecodePool)
+
+    ref = _ref_frames(video)
+    lut = ref.reshape(len(ref), -1).mean(axis=1)
+    pool = DecodePool([video] * 3, workers=2, slot_bytes=W * H * 3,
+                      timeout_ms=8000)
+    seq = {0: [], 1: [], 2: []}
+    total = 0
+    for batch, ids in pool:
+        assert batch.dtype == np.uint8
+        for bi, sid in enumerate(ids):
+            seq[sid].append(_frame_index(batch[bi], lut))
+        total += len(ids)
+    pool.release()
+    assert total == 3 * len(ref)
+    for sid in range(3):
+        # every stream delivered every frame, in order
+        assert seq[sid] == list(range(len(ref))), sid
+
+
+def test_decode_pool_single_worker_many_streams(video):
+    from scrfd_arcface_facerecognition_tpu.runtime.decode_pool import (
+        DecodePool)
+
+    ref = _ref_frames(video)
+    pool = DecodePool([video] * 4, workers=1, slot_bytes=W * H * 3,
+                      timeout_ms=8000)
+    counts = {}
+    first_round = None
+    for batch, ids in pool:
+        if first_round is None:
+            first_round = (batch.copy(), list(ids))
+        for sid in ids:
+            counts[sid] = counts.get(sid, 0) + 1
+    pool.release()
+    assert counts == {s: len(ref) for s in range(4)}
+    b0, ids0 = first_round
+    assert ids0 == [0, 1, 2, 3]
+    for bi in range(4):
+        np.testing.assert_array_equal(b0[bi], ref[0])
+
+
+def test_decode_pool_bad_source_drops_out(video):
+    from scrfd_arcface_facerecognition_tpu.runtime.decode_pool import (
+        DecodePool)
+
+    ref = _ref_frames(video)
+    pool = DecodePool([video, "/nonexistent/nope.mp4"], workers=1,
+                      slot_bytes=W * H * 3, timeout_ms=8000)
+    counts = {}
+    for batch, ids in pool:
+        for sid in ids:
+            counts[sid] = counts.get(sid, 0) + 1
+    pool.release()
+    assert counts.get(0) == len(ref)
+    assert counts.get(1) in (None, 0)
+
+
+def test_decode_pool_release_mid_stream(video):
+    from scrfd_arcface_facerecognition_tpu.runtime.decode_pool import (
+        DecodePool)
+
+    pool = DecodePool([video] * 2, workers=2, slot_bytes=W * H * 3)
+    it = iter(pool)
+    next(it)
+    next(it)
+    pool.release()
+    assert all(not p.is_alive() for p in pool._procs)
