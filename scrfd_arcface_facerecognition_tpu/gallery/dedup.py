@@ -8,7 +8,8 @@ computation BASELINE.json config 4 asks for.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import functools
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -60,6 +61,116 @@ def find_duplicate_pairs(embeddings: np.ndarray, threshold: float,
             for i, j in zip(iu[hits], ju[hits])]
 
 
+def _block_topk_core(emb_n, row0, k, block, g):
+    """One row block vs the full (Gp, D) PRE-NORMALIZED gallery: per-row
+    top-k of the strictly-upper triangle (col > global row), so each
+    unordered pair surfaces exactly once across blocks. The block is
+    sliced ON DEVICE (no per-block upload, no per-block re-normalize —
+    normalizing the full matrix inside every block call tripled the 1M
+    scan's runtime)."""
+    blk = jax.lax.dynamic_slice(emb_n, (row0, 0), (block, emb_n.shape[1]))
+    sims = jnp.dot(blk, emb_n.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    cols = jnp.arange(emb_n.shape[0])[None, :]
+    rows = row0 + jnp.arange(block)[:, None]
+    sims = jnp.where((cols > rows) & (cols < g), sims, -jnp.inf)
+    return jax.lax.top_k(sims, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "g", "nblocks"))
+def _blocks_topk(emb_n, row0_start, k, block, g, nblocks):
+    """`nblocks` consecutive row blocks in ONE dispatch (lax.scan).
+
+    A per-block dispatch+readback pays the transport round-trip 2000 times
+    at G=1M (per-block sync latency dominated the scan: 557 s measured vs
+    ~200 s of actual compute on a tunneled v5e); chunking amortizes it to
+    ~60 dispatches with a (nblocks, block, k) readback each."""
+    def body(_, i):
+        s, j = _block_topk_core(emb_n, row0_start + i * block, k, block, g)
+        return None, (s, j)
+
+    _, (ss, jj) = jax.lax.scan(body, None, jnp.arange(nblocks))
+    return ss, jj
+
+
+def find_duplicate_pairs_blocked(
+        embeddings: np.ndarray, threshold: float,
+        ids: Optional[Sequence[int]] = None, block: int = 4096,
+        k_neighbors: int = 16) -> List[Tuple[int, int, float]]:
+    """All (id_i, id_j, sim) with i<j and sim >= threshold — BLOCKED.
+
+    The one-shot formulation (find_duplicate_pairs) materializes the full
+    (G, G) similarity matrix on the host: 40 GB at G=100k, impossible at
+    the 1M+ scale the capacity tiers serve. This version streams (block, G)
+    device matmuls and reads back only each row's top `k_neighbors`
+    candidates (block x k x 8 B per step — ~0.5 MB), so host memory is
+    O(G x k), device memory O(G x D + block x G).
+
+    k_neighbors caps the duplicates detectable PER ROW per pass; rows at
+    the cap are re-queried against their own above-threshold tail (rare —
+    a real gallery has a handful of duplicates per person). Grouping
+    semantics are identical to find_duplicate_pairs (verified in
+    tests/test_gallery.py).
+    """
+    mat = np.asarray(embeddings, np.float32)
+    g = mat.shape[0]
+    if ids is None:
+        ids = list(range(g))
+    if g < 2:
+        return []
+    # the (block, G) f32 similarity slab must fit HBM next to the (G, D)
+    # rows: cap it at ~2 GB (block 512 at G=1M)
+    block = max(128, min(block, (2 << 30) // max(4 * g, 1)))
+    k = min(k_neighbors, g)
+    gp = -(-g // block) * block
+    emb_pad = mat if gp == g else np.pad(mat, ((0, gp - g), (0, 0)))
+    # normalize ONCE on device; padded rows are zero (masked by col < g)
+    emb_dev = l2_normalize(jnp.asarray(emb_pad))
+    pairs: List[Tuple[int, int, float]] = []
+    saturated: List[int] = []
+    n_total = gp // block
+    chunk = min(32, n_total)             # blocks per dispatch
+    for c0 in range(0, n_total, chunk):
+        nb = min(chunk, n_total - c0)
+        ss, jj = _blocks_topk(emb_dev, c0 * block, k, block, g, nb)
+        ss = np.asarray(ss)
+        jj = np.asarray(jj)
+        for b in range(nb):
+            r0 = (c0 + b) * block
+            if r0 >= g:
+                break
+            s = ss[b][:min(block, g - r0)]
+            j = jj[b][:min(block, g - r0)]
+            hit = s >= threshold
+            for bi in np.nonzero(hit.any(axis=1))[0]:
+                row = r0 + int(bi)
+                for col, sim in zip(j[bi][hit[bi]], s[bi][hit[bi]]):
+                    pairs.append((ids[row], ids[int(col)], float(sim)))
+                if hit[bi].all():
+                    saturated.append(row)
+    # rows whose ENTIRE top-k cleared the threshold may have more
+    # duplicates past the cap: rescan those rows exactly (full-width)
+    for row in saturated:
+        sims = np.asarray(
+            _sim_row(emb_dev, jnp.asarray(mat[row])))[:g]
+        extra = np.nonzero((sims >= threshold)
+                           & (np.arange(g) > row))[0]
+        have = {p[1] for p in pairs if p[0] == ids[row]}
+        for col in extra:
+            if ids[int(col)] not in have:
+                pairs.append((ids[row], ids[int(col)],
+                              float(sims[int(col)])))
+    return pairs
+
+
+@jax.jit
+def _sim_row(emb, row_vec):
+    e = l2_normalize(emb.astype(jnp.float32))
+    r = l2_normalize(row_vec.astype(jnp.float32))
+    return jnp.dot(e, r, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 class UnionFind:
     """Host-side union-find for transitive duplicate grouping."""
 
@@ -83,9 +194,14 @@ class UnionFind:
 
 
 def duplicate_groups(embeddings: np.ndarray, threshold: float,
-                     ids: Sequence[int] = None) -> List[List[int]]:
+                     ids: Sequence[int] = None,
+                     block_above: int = 8192) -> List[List[int]]:
     """Group transitively-duplicate identities; each group sorted ascending,
     groups of size >= 2 only (the merge worklist: keep group[0], merge rest).
+
+    Past `block_above` rows the pair scan switches to the blocked
+    formulation (find_duplicate_pairs_blocked): the one-shot G x G host
+    matrix is 40 GB at G=100k and the capacity tiers go to millions.
 
     Grouping runs through the native C union-find (runtime/native.py
     uf_group_roots, Python fallback inside) — ids map to their ascending
@@ -96,7 +212,10 @@ def duplicate_groups(embeddings: np.ndarray, threshold: float,
     g = embeddings.shape[0]
     if ids is None:
         ids = list(range(g))
-    pairs = find_duplicate_pairs(embeddings, threshold, ids)
+    if g > block_above:
+        pairs = find_duplicate_pairs_blocked(embeddings, threshold, ids)
+    else:
+        pairs = find_duplicate_pairs(embeddings, threshold, ids)
     if not pairs:
         return []
     order = sorted(ids)

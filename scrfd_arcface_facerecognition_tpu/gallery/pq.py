@@ -218,7 +218,7 @@ def adc_scores(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def _adc_mxu_kernel(codes_ref, lut_ref, out_ref):
+def _adc_mxu_kernel(codes_ref, lut_ref, out_ref, *, hilo: bool = True):
     """One G-block of ADC as one-hot x LUT matmuls on the MXU.
 
     codes_ref (M, Gb) int32; lut_ref (M, Q, K) f32; out_ref (Q, Gb) f32.
@@ -227,13 +227,16 @@ def _adc_mxu_kernel(codes_ref, lut_ref, out_ref):
     The one-hot never leaves VMEM — the table lookup the VPU gather
     formulation serializes becomes dense MXU work instead.
 
-    The f32 LUT rides the bf16 MXU as a hi/lo mantissa split (the
-    pallas_warp._hilo technique): hi = bf16(lut), lo = bf16((lut-hi)*2^9),
-    two matmuls whose f32-accumulated sum carries ~17 mantissa bits — so
-    this kernel matches the f32 scan path to ~1e-6 relative instead of the
-    ~2e-3 a single bf16 cast costs (near-tie top-k orders agree across
-    adc_impl choices). The 2^9 scale also blocks XLA's dot(A,hi)+dot(A,lo)
-    -> dot(A,hi+lo) rewrite, which would silently undo the split.
+    hilo=True: the f32 LUT rides the bf16 MXU as a hi/lo mantissa split
+    (the pallas_warp._hilo technique): hi = bf16(lut), lo =
+    bf16((lut-hi)*2^9), two matmuls whose f32-accumulated sum carries ~17
+    mantissa bits — this matches the f32 scan path to ~1e-6 relative
+    instead of the ~2e-3 a single bf16 cast costs (near-tie top-k orders
+    agree across adc_impl choices). The 2^9 scale also blocks XLA's
+    dot(A,hi)+dot(A,lo) -> dot(A,hi+lo) rewrite, which would silently undo
+    the split. hilo=False halves the MXU work for searches whose shortlist
+    is exactly reranked anyway (AutoGallery keep_exact): PQ quantization
+    error dwarfs the 2e-3, and the rerank re-orders with true cosines.
     """
     m_total, q, k = lut_ref.shape
     gb = codes_ref.shape[1]
@@ -244,10 +247,12 @@ def _adc_mxu_kernel(codes_ref, lut_ref, out_ref):
         onehot = (row_ids == c).astype(jnp.bfloat16)        # (K, Gb)
         lut_m = lut_ref[pl.ds(m, 1)].reshape(q, k)          # f32
         hi = lut_m.astype(jnp.bfloat16)
-        lo = ((lut_m - hi.astype(jnp.float32)) * 512.0).astype(jnp.bfloat16)
         acc = acc + jax.lax.dot_general(
             hi, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if not hilo:
+            return acc
+        lo = ((lut_m - hi.astype(jnp.float32)) * 512.0).astype(jnp.bfloat16)
         return acc + jax.lax.dot_general(
             lo, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * (1.0 / 512.0)
@@ -257,8 +262,9 @@ def _adc_mxu_kernel(codes_ref, lut_ref, out_ref):
 
 
 def adc_scores_mxu(lut: jnp.ndarray, codes: jnp.ndarray,
-                   block_g: int = 4096,
-                   interpret: bool = False) -> jnp.ndarray:
+                   block_g: int = 4096, interpret: bool = False,
+                   precision: str = "hilo",
+                   max_q: int = 128) -> jnp.ndarray:
     """(Q, M, K) LUTs x (G, M) codes -> (Q, G), MXU formulation.
 
     Equivalent to adc_scores but ~MXU-bound instead of gather-bound: the
@@ -267,9 +273,25 @@ def adc_scores_mxu(lut: jnp.ndarray, codes: jnp.ndarray,
     sum_m lut[q, m, codes[g, m]] is exactly sum_m lut_m @ onehot(codes_m),
     a chain of (Q, K) x (K, Gb) matmuls whose one-hot operand is built and
     consumed entirely in VMEM.
+
+    The per-query cost drops with batch size until Q=128 fills the MXU's
+    rows (13.2 -> 5.1 ms/query at G=10M going 16 -> 128, docs/PERF.md);
+    queries beyond `max_q` are chunked — the (M, Qp, K) LUT block must fit
+    VMEM (17.9 MB at Qp=256 overflows the 16 MB limit).
+
+    precision: "hilo" (f32-faithful, 2 matmuls/subspace) or "hi" (single
+    bf16 matmul, ~2e-3 relative — the right choice when an exact rerank
+    follows, see _adc_mxu_kernel).
     """
+    import functools as _ft
+
     q, m, k = lut.shape
     g = codes.shape[0]
+    if q > max_q:
+        return jnp.concatenate(
+            [adc_scores_mxu(lut[i:i + max_q], codes, block_g, interpret,
+                            precision, max_q)
+             for i in range(0, q, max_q)], axis=0)
     qp = -(-q // 8) * 8                    # sublane-align the thin Q dim
     gp = -(-g // block_g) * block_g
     lut_p = jnp.zeros((m, qp, k), jnp.float32).at[:, :q].set(
@@ -277,7 +299,7 @@ def adc_scores_mxu(lut: jnp.ndarray, codes: jnp.ndarray,
     codes_t = jnp.zeros((m, gp), jnp.int32).at[:, :g].set(
         codes.astype(jnp.int32).T)
     out = pl.pallas_call(
-        _adc_mxu_kernel,
+        _ft.partial(_adc_mxu_kernel, hilo=(precision == "hilo")),
         grid=(gp // block_g,),
         in_specs=[
             pl.BlockSpec((m, block_g), lambda i: (0, i)),
@@ -291,10 +313,11 @@ def adc_scores_mxu(lut: jnp.ndarray, codes: jnp.ndarray,
 
 
 def _local_pq_topk(lut, codes, valid, k: int, axis: str,
-                   impl: str = "scan"):
+                   impl: str = "scan", precision: str = "hilo"):
     if impl == "mxu":
         scores = adc_scores_mxu(lut, codes,
-                                interpret=jax.default_backend() != "tpu")
+                                interpret=jax.default_backend() != "tpu",
+                                precision=precision)
     else:
         scores = adc_scores(lut, codes)                      # (Q, G/m)
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
@@ -311,7 +334,7 @@ def _local_pq_topk(lut, codes, valid, k: int, axis: str,
 
 def sharded_pq_top_k(queries, codec: PQCodec, codes, valid, k: int,
                      mesh: Mesh, axis: str = "model",
-                     adc_impl: str = "scan"):
+                     adc_impl: str = "scan", precision: str = "hilo"):
     """Top-k ADC search over codes row-sharded on `axis` (same collective
     shape as the dense sharded_top_k: local scores + all_gather of
     candidates over ICI). adc_impl picks the per-shard score kernel —
@@ -320,7 +343,8 @@ def sharded_pq_top_k(queries, codec: PQCodec, codes, valid, k: int,
     exists to replace)."""
     lut = codec.lut(queries)
     fn = jax.shard_map(
-        functools.partial(_local_pq_topk, k=k, axis=axis, impl=adc_impl),
+        functools.partial(_local_pq_topk, k=k, axis=axis, impl=adc_impl,
+                          precision=precision),
         mesh=mesh, in_specs=(P(), P(axis, None), P(axis)),
         out_specs=(P(), P()), check_vma=False)
     return fn(lut, codes, valid)
@@ -372,7 +396,8 @@ class PQGallery:
     def __len__(self) -> int:
         return self.capacity - len(self._free)
 
-    def add(self, ids, embeddings) -> None:
+    def add(self, ids, embeddings) -> np.ndarray:
+        """Add rows; returns the slot indices written (facade bookkeeping)."""
         ids = np.atleast_1d(np.asarray(ids, np.int64))
         if (ids < 0).any():
             # -1 is the empty-slot sentinel; snapshot() derives validity
@@ -391,6 +416,7 @@ class PQGallery:
         self._ids[rows] = ids
         if self._exact is not None:
             self._exact[rows] = emb
+        return rows
 
     def delete(self, person_id: int) -> bool:
         rows = np.nonzero(self._ids == person_id)[0]
@@ -456,42 +482,56 @@ class PQGallery:
                 g._exact[:n] = exact
         return g
 
-    def search(self, queries, k: int = 5,
-               rerank: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, queries, k: int = 5, rerank: int = 0,
+               precision: Optional[str] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
         """(Q, dim) or (dim,) -> (scores (Q, k), ids (Q, k)); ids -1 where
         fewer than k valid rows exist.
 
         rerank > 0 (requires keep_exact=True): the ADC pass shortlists
         max(k, rerank) candidates, then exact host-side inner products
         re-order them — PQ recall at full-precision top-k accuracy for the
-        cost of a (Q, rerank) dot product."""
+        cost of a (Q, rerank) dot product.
+
+        precision overrides the ADC pass's LUT precision ("hilo"/"hi",
+        see adc_scores_mxu); default: "hi" when an exact rerank follows,
+        "hilo" otherwise."""
         q = np.atleast_2d(np.asarray(queries, np.float32))
         k_fetch = max(k, rerank) if rerank else k
+        # an exact rerank follows -> the cheaper single-bf16 ADC pass is
+        # enough for shortlisting (the rerank re-orders with true cosines;
+        # quantization error dwarfs the bf16 2e-3). 2x fewer MXU matmuls.
+        if precision is None:
+            precision = "hi" if rerank else "hilo"
         if self.mesh is not None:
             s, i = sharded_pq_top_k(q, self.codec, self._codes, self._valid,
                                     k_fetch, self.mesh, self.axis,
-                                    adc_impl=self.adc_impl)
+                                    adc_impl=self.adc_impl,
+                                    precision=precision)
         else:
             # ONE compiled program for lut -> ADC -> mask -> top-k: eager
             # op-by-op dispatch costs more than the kernel itself at
             # G=10M through a remote transport (833 -> ~250 ms, PERF.md)
-            fn = self._jit_search.get(k_fetch)
+            fn = self._jit_search.get((k_fetch, precision))
             if fn is None:
                 impl, cap = self.adc_impl, self.capacity
                 interp = jax.default_backend() != "tpu"
                 codec = self.codec
+                prec = precision
 
                 def _search(qd, codes, valid):
                     lut = codec.lut(qd)
                     if impl == "mxu":
                         scores = adc_scores_mxu(lut, codes,
-                                                interpret=interp)
+                                                interpret=interp,
+                                                precision=prec)
                     else:
                         scores = adc_scores(lut, codes)
                     scores = jnp.where(valid[None], scores, -jnp.inf)
                     return jax.lax.top_k(scores, min(k_fetch, cap))
 
-                fn = self._jit_search[k_fetch] = jax.jit(_search)
+                fn = self._jit_search[(k_fetch, precision)] = \
+                    jax.jit(_search)
             s, i = fn(jnp.asarray(q), self._codes, self._valid)
         s = np.asarray(s)
         i = np.asarray(i)

@@ -289,6 +289,16 @@ class GalleryStore:
         """Gather N rows from the host mirror — zero device traffic."""
         return self._host[np.asarray(rows, np.int64)].copy()
 
+    def duplicate_groups(self, threshold: float) -> List[List[int]]:
+        """Merge worklist over the resident rows (tier-API parity with
+        gallery/auto.py; blocked pair scan past 8k rows)."""
+        from .dedup import duplicate_groups
+
+        mat, ids = self.dense_matrix()
+        if len(ids) < 2:
+            return []
+        return duplicate_groups(mat, threshold, ids)
+
     # ------------------------------------------------------- persistence
 
     def snapshot(self, path: str) -> None:

@@ -64,14 +64,26 @@ class DisaggPipeline:
     ...     ...
     """
 
+    SHARD_AUTO_BYTES = 64 << 20   # shard past 64 MB (32k rows at 512 f32)
+
     def __init__(self, pipe, det_devices: Sequence, emb_devices: Sequence,
-                 axis: str = "data"):
+                 axis: str = "data", shard_gallery: str = "auto"):
+        # shard_gallery: "auto" | True | False — row-shard the gallery over
+        # the embed group instead of replicating it. Replication caps the
+        # deployment at galleries that fit one chip's HBM alongside ArcFace
+        # (exactly the regime where disagg is least needed); sharding
+        # composes the PP split with the sharded-gallery collective: GSPMD
+        # partitions the match matmul and inserts the argmax all-reduce
+        # (numerically identical — tests/test_parallel.py).
         overlap = set(map(id, det_devices)) & set(map(id, emb_devices))
         if overlap:
             raise ValueError("det/emb device groups overlap — that is the "
                              "co-located DP deployment; use shard_frames")
+        if shard_gallery not in ("auto", True, False):
+            raise ValueError(f"shard_gallery={shard_gallery!r}")
         self.pipe = pipe
         self.axis = axis
+        self.shard_gallery = shard_gallery
         self.det_mesh = make_mesh((len(det_devices),), (axis,),
                                   devices=det_devices)
         self.emb_mesh = make_mesh((len(emb_devices),), (axis,),
@@ -93,10 +105,32 @@ class DisaggPipeline:
         st = self._emb_state
         if (st is None or st[0] is not pipe.embedder.variables
                 or st[1] is not pipe._gallery):
+            gallery, gvalid = pipe._gallery, pipe._gallery_valid
+            shard = self.shard_gallery
+            if shard == "auto":
+                shard = gallery.nbytes > self.SHARD_AUTO_BYTES
+            if shard:
+                # row-shard over the embed group (pad rows to divide the
+                # axis; padding is valid=False so the match never sees it)
+                import jax.numpy as jnp
+
+                n = self.emb_mesh.shape[self.axis]
+                g, d = gallery.shape
+                gp = -(-g // n) * n
+                if gp != g:
+                    gallery = jnp.zeros((gp, d), gallery.dtype
+                                        ).at[:g].set(gallery)
+                    gvalid = jnp.zeros((gp,), bool).at[:g].set(gvalid)
+                gallery_p = jax.device_put(
+                    gallery, NamedSharding(self.emb_mesh, P(self.axis, None)))
+                gvalid_p = jax.device_put(
+                    gvalid, NamedSharding(self.emb_mesh, P(self.axis)))
+            else:
+                gallery_p = replicate(gallery, self.emb_mesh)
+                gvalid_p = replicate(gvalid, self.emb_mesh)
             placed = (None,
                       replicate(pipe.embedder.variables, self.emb_mesh),
-                      replicate(pipe._gallery, self.emb_mesh),
-                      replicate(pipe._gallery_valid, self.emb_mesh))
+                      gallery_p, gvalid_p)
             st = (pipe.embedder.variables, pipe._gallery, placed)
             self._emb_state = st
         return st[2]

@@ -107,6 +107,13 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "collection_name": "face_embeddings",
         "vector_size": 512,
         "distance_metric": "Cosine",
+        # capacity-tier policy (gallery/auto.py AutoGallery):
+        # "auto" = dense matmul until the f32 matrix would fill
+        # hbm_budget_gb, then migrate to the PQ tier (MXU ADC + exact
+        # rerank); "dense"/"pq" force a tier
+        "tier": "auto",
+        "hbm_budget_gb": 4.0,
+        "pq_min_train_rows": 4096,
     },
 }
 

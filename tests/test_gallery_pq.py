@@ -190,7 +190,8 @@ def test_pq_snapshot_restore_round_trip(codec_and_corpus, tmp_path):
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(s0, s1, atol=1e-6)
     # adds continue after restore (free-list rebuilt)
-    assert r.add(np.asarray([999]), corpus[200:201]) is None
+    rows = r.add(np.asarray([999]), corpus[200:201])
+    assert len(rows) == 1        # add returns the slot indices written
     assert len(r) == 100
 
 

@@ -36,7 +36,13 @@ def median_time(fn, rounds=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--g", type=int, default=10_000_000)
-    ap.add_argument("--q", type=int, default=16)
+    ap.add_argument("--q", type=int, default=16,
+                    help="query batch for the recall study")
+    ap.add_argument("--q-sweep", type=str, default="",
+                    help="comma list of query-batch sizes to time at --g "
+                         "(e.g. 16,64,128,256): the ADC kernel's matmuls "
+                         "fill Q of the MXU's 128 rows, so per-query cost "
+                         "should drop ~Q/16-fold until Q=128")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--m", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=500_000,
@@ -75,17 +81,23 @@ def main():
         "value": round(args.g / (time.perf_counter() - t0), 0),
         "unit": "rows/sec"}), flush=True)
 
-    q = unit_rows(args.q)
-    s, ids = g.search(q, k=args.k)            # compile + warm
-    assert (ids >= 0).all()
-    dt = median_time(lambda: g.search(q, k=args.k))
     codes_mb = args.g * args.m / 1e6
-    print(json.dumps({
-        "metric": f"pq_adc_search_ms (G={args.g}, Q={args.q}, "
-                  f"top-{args.k}, {g.adc_impl}, codes {codes_mb:.0f} MB; "
-                  "dense f32 would need "
-                  f"{args.g * 512 * 4 / 1e9:.0f} GB HBM)",
-        "value": round(dt * 1000, 2), "unit": "ms"}), flush=True)
+    sweep = ([int(x) for x in args.q_sweep.split(",")]
+             if args.q_sweep else [args.q])
+    for qn in sweep:
+        q = unit_rows(qn)
+        for prec in ("hilo", "hi"):
+            s, ids = g.search(q, k=args.k, precision=prec)  # compile+warm
+            assert (ids >= 0).all()
+            dt = median_time(lambda: g.search(q, k=args.k, precision=prec))
+            print(json.dumps({
+                "metric": f"pq_adc_search_ms (G={args.g}, Q={qn}, "
+                          f"top-{args.k}, {g.adc_impl}/{prec}, codes "
+                          f"{codes_mb:.0f} MB; dense f32 would need "
+                          f"{args.g * 512 * 4 / 1e9:.0f} GB HBM)",
+                "value": round(dt * 1000, 2), "unit": "ms",
+                "per_query_ms": round(dt * 1000 / qn, 3)}), flush=True)
+    q = unit_rows(args.q)
 
     if args.dense_g:
         # largest dense matmul for context (the tier-crossover reference)
