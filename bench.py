@@ -3,6 +3,14 @@
 Measures BASELINE.json's headline metric — letterbox + detect (SCRFD-10G) +
 NMS + align + embed (ArcFace-R50) + gallery match per 1080p frame on one
 chip, at the spec'd video workload (config 3: max-num=10 faces/frame).
+
+Weights default to the TORCH STAND-INS loaded through config-from-graph
+(BENCH_WEIGHTS=standin): structured score/landmark distributions let NMS
+suppression, face-count bucketing and the production AUTO warp policy run
+on representative inputs — random Flax init saturates every detector score
+to 1.0 and its degenerate landmarks trip the warp envelope on every face
+(BENCH_WEIGHTS=random keeps that mode measurable; it forces the pallas
+warp so the kernel's true cost is still visible).
 Sustained-throughput methodology: BENCH_PIPELINE batches are kept in flight
 and synced at the end (matching a video pipeline that only reads results
 back as annotations); sync uses a host readback because
@@ -27,6 +35,54 @@ import numpy as np
 TARGET_FPS = 500.0
 
 
+def _standin_pipeline_parts(dtype, conf_thres, pre_nms, max_det):
+    """Detector/Embedder carrying the torch stand-in weights.
+
+    The stand-ins (tests/torch_export.py STAND_INS — deterministic seeded
+    torch graphs with calibrated detector geometry) are exported to ONNX
+    once (cached) and loaded through the PRODUCTION path: config-from-graph
+    inference + the ordered importer — the same route real released files
+    take. Unlike raw random Flax init, their detector scores do not
+    saturate at 1.0 and their landmarks vary per face, so NMS suppression,
+    face-count bucketing and the auto warp policy all run on representative
+    inputs (VERDICT r3 item 6)."""
+    import zlib
+
+    import jax.numpy as jnp  # noqa: F401  (parity with main's imports)
+    from scrfd_arcface_facerecognition_tpu.models.config_from_graph import (
+        flax_from_onnx)
+    from scrfd_arcface_facerecognition_tpu.pipeline.detector import Detector
+    from scrfd_arcface_facerecognition_tpu.pipeline.embedder import Embedder
+
+    cache = os.path.join(_REPO_ROOT, ".bench_standins")
+    det_path = os.path.join(cache, "det_10g_standin.onnx")
+    rec_path = os.path.join(cache, "w600k_r50_standin.onnx")
+    if not (os.path.exists(det_path) and os.path.exists(rec_path)):
+        os.makedirs(cache, exist_ok=True)
+        sys.path.insert(0, os.path.join(_REPO_ROOT, "tests"))
+        import torch
+        from torch_export import (STAND_INS, calibrate_detector,
+                                  export_onnx, seeded)
+
+        # per-name crc seed matches tools/verify_release.py resolve_graph,
+        # so the bench exercises the exact bytes the sign-off harness does
+        tm = calibrate_detector(seeded(
+            STAND_INS["det_10g"](), seed=zlib.crc32(b"det_10g") % 1000))
+        export_onnx(tm, torch.randn(1, 3, 640, 640), det_path + ".tmp")
+        os.replace(det_path + ".tmp", det_path)
+        rm = seeded(STAND_INS["w600k_r50"](),
+                    seed=zlib.crc32(b"w600k_r50") % 1000)
+        export_onnx(rm, torch.randn(1, 3, 112, 112), rec_path + ".tmp")
+        os.replace(rec_path + ".tmp", rec_path)
+
+    det_m, det_v = flax_from_onnx(det_path, name="det_10g")
+    det = Detector(config=det_m.config, variables=det_v, dtype=dtype,
+                   conf_thres=conf_thres, pre_nms=pre_nms, max_det=max_det)
+    rec_m, rec_v = flax_from_onnx(rec_path, name="w600k_r50")
+    emb = Embedder(config=rec_m.config, variables=rec_v, dtype=dtype)
+    return det, emb
+
+
 def main():
     import jax.numpy as jnp
     from scrfd_arcface_facerecognition_tpu.pipeline import FacePipeline
@@ -45,14 +101,28 @@ def main():
     max_det = int(os.environ.get("BENCH_MAX_DET", "16"))
     max_num = int(os.environ.get("BENCH_MAX_NUM", "10"))  # BASELINE config 3
 
-    warp_mode = os.environ.get("BENCH_WARP", "force")  # random weights
-    # produce degenerate landmarks that would always trip the envelope
-    # fallback; "force" measures the production (pallas) path's true cost.
-    pipe = FacePipeline(det_variant="det_10g", rec_variant="w600k_r50",
-                        conf_thres=0.5, max_det=max_det, pre_nms=256,
-                        gallery_capacity=max(gallery_size, 128),
-                        dtype=jnp.bfloat16, seed=0,
-                        use_pallas_warp=warp_mode)
+    weights = os.environ.get("BENCH_WEIGHTS", "standin")
+    # standin (default): torch stand-in weights via config-from-graph —
+    # structured score/landmark distributions, so "auto" (the production
+    # warp policy) is the honest default. random: raw Flax init — its
+    # degenerate landmarks would trip the envelope fallback on every
+    # face, so "force" measures the pallas path's true cost there.
+    warp_mode = os.environ.get(
+        "BENCH_WARP", "auto" if weights == "standin" else "force")
+    conf_thres = float(os.environ.get("BENCH_CONF", "0.5"))
+    if weights == "standin":
+        det, emb = _standin_pipeline_parts(jnp.bfloat16, conf_thres,
+                                           pre_nms=256, max_det=max_det)
+        pipe = FacePipeline(detector=det, embedder=emb,
+                            gallery_capacity=max(gallery_size, 128),
+                            use_pallas_warp=warp_mode)
+    else:
+        pipe = FacePipeline(det_variant="det_10g", rec_variant="w600k_r50",
+                            conf_thres=conf_thres, max_det=max_det,
+                            pre_nms=256,
+                            gallery_capacity=max(gallery_size, 128),
+                            dtype=jnp.bfloat16, seed=0,
+                            use_pallas_warp=warp_mode)
     rng = np.random.default_rng(0)
     pipe.set_gallery(rng.normal(size=(gallery_size, 512)).astype(np.float32),
                      [f"p{i}" for i in range(gallery_size)])
@@ -102,8 +172,12 @@ def main():
                   f"gallery-{gallery_size} match, max_num={max_num}, "
                   f"faces_in_batch={faces}, median of {rounds} rounds, "
                   f"spread {min(fps_rounds):.0f}-{max(fps_rounds):.0f}, "
-                  "synthetic frames + random weights: workload shape is "
-                  "the spec'd video config, detection content is noise)",
+                  + ("torch stand-in weights via config-from-graph, "
+                     f"{warp_mode} warp policy"
+                     if weights == "standin" else
+                     "random weights, forced pallas warp")
+                  + "; synthetic 1080p frames — workload shape is the "
+                  "spec'd video config)",
         "value": round(median_fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(median_fps / TARGET_FPS, 4),

@@ -287,7 +287,11 @@ class Detector:
                 from ..models.scrfd import adapt_stem_variables
 
                 variables = adapt_stem_variables(variables, s2d_stem)
-        self.variables = variables
+        from ..models.init_utils import place_variables
+
+        # importer/executor weights arrive as host numpy: commit them to
+        # the device once, or every jitted call re-uploads ~all of them
+        self.variables = place_variables(variables)
         self._jitted = {}
 
     def _fn(self, frame_hw: Tuple[int, int], max_num: int, metric: str):

@@ -173,7 +173,11 @@ class Embedder:
                 from ..models.init_utils import cpu_init
 
                 variables = cpu_init(self.model, seed, (1, 112, 112, 3))
-        self.variables = variables
+        from ..models.init_utils import place_variables
+
+        # importer/executor weights arrive as host numpy: commit them to
+        # the device once, or every jitted call re-uploads ~all of them
+        self.variables = place_variables(variables)
         self._jitted = {}
 
     def _fn(self, frame_hw: Tuple[int, int], l2: bool):
