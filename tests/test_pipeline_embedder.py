@@ -147,3 +147,25 @@ def test_process_stream_matches_call():
                                       np.asarray(want.valid))
         np.testing.assert_allclose(np.asarray(got.embeddings),
                                    np.asarray(want.embeddings), atol=2e-5)
+
+
+def test_ctor_commits_host_numpy_weights_to_device():
+    """Importer/executor weights arrive as host numpy; the ctors must
+    place them ONCE (init_utils.place_variables). Regression: numpy
+    leaves re-uploaded the full tree on every jitted call — 16x slower
+    than the forward itself through a remote transport (docs/PERF.md
+    "Host-resident weights re-uploaded per call")."""
+    import jax
+    from scrfd_arcface_facerecognition_tpu.pipeline import Detector
+
+    base = Detector("det_500m", seed=0)
+    host_vars = jax.tree.map(np.asarray, base.variables)
+    assert all(isinstance(x, np.ndarray)
+               for x in jax.tree.leaves(host_vars))
+    for d in (Detector("det_500m", variables=host_vars),
+              Embedder("w600k_mbf",
+                       variables=jax.tree.map(
+                           np.asarray,
+                           Embedder("w600k_mbf", seed=0).variables))):
+        leaves = jax.tree.leaves(d.variables)
+        assert leaves and all(isinstance(x, jax.Array) for x in leaves)
