@@ -108,9 +108,17 @@ def run(params) -> dict:
                                 or batch.shape[1]
                             fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
                         else:
-                            # DecodePool captures live in worker processes;
-                            # first-batch dims stand in (uniform cameras)
-                            sw, sh, fps = batch.shape[2], batch.shape[1], 24.0
+                            # DecodePool captures live in worker processes,
+                            # but it records each stream's OWN dims off its
+                            # first frame — padded batch dims would bake the
+                            # zero padding into smaller streams' mp4s and
+                            # make cv2 silently drop frames once the largest
+                            # stream ends and batches shrink
+                            dims = getattr(reader, "stream_dims",
+                                           {}).get(sid)
+                            sh, sw = dims if dims else (batch.shape[1],
+                                                        batch.shape[2])
+                            fps = 24.0
                         writers[sid] = (cv2.VideoWriter(
                             os.path.join(params.output_dir,
                                          f"stream_{sid}.mp4"),

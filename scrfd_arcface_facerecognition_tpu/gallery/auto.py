@@ -44,6 +44,13 @@ class AutoGallery:
                  mesh=None, axis: str = "model"):
         if tier not in ("auto", "dense", "pq"):
             raise ValueError(f"unknown tier {tier!r}")
+        if vector_size % pq_m:
+            # fail at construction, not at the migration threshold (where
+            # PQCodec.train would raise long after the misconfiguration,
+            # with the dense tier already past its budget)
+            raise ValueError(
+                f"vector_size {vector_size} not divisible by pq_m={pq_m}: "
+                f"the PQ tier cannot encode it")
         self.vector_size = vector_size
         self.tier_policy = tier
         self.pq_m = pq_m
@@ -116,6 +123,11 @@ class AutoGallery:
 
     def add_embedding(self, person_id: int, embedding,
                       payload: Optional[Dict[str, Any]] = None) -> bool:
+        if person_id < 0:
+            # -1 is the PQ tier's empty-slot sentinel: a negative id
+            # accepted on the dense tier would make every migration
+            # attempt raise forever once the threshold is crossed
+            raise ValueError("person ids must be >= 0")
         vec = np.asarray(embedding, np.float32).reshape(-1)
         if vec.shape[0] != self.vector_size:
             return False
@@ -129,6 +141,11 @@ class AutoGallery:
 
     def add_batch(self, ids, embeddings,
                   payloads: Optional[List[Dict[str, Any]]] = None) -> int:
+        if np.any(np.atleast_1d(np.asarray(ids, np.int64)) < 0):
+            # validate BEFORE any mutation: the PQ upsert below deletes
+            # existing rows first, and a late PQGallery.add failure would
+            # have already discarded them
+            raise ValueError("person ids must be >= 0")
         if self._pq is None:
             n = self._dense.add_batch(ids, embeddings, payloads)
             if n and self._migration_due():
@@ -290,7 +307,10 @@ class AutoGallery:
         """Rebuild from either tier's snapshot (sniffed by content)."""
         g = cls(**kwargs)
         try:
-            pq = PQGallery.restore(path)
+            # honor the facade's runtime sharding choices: a snapshot
+            # restored without them would leave a 10M-row code matrix
+            # unsharded on one device
+            pq = PQGallery.restore(path, mesh=g.mesh, axis=g.axis)
             is_pq = True
         except Exception:
             is_pq = False

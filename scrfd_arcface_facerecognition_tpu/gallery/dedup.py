@@ -164,10 +164,13 @@ def find_duplicate_pairs_blocked(
 
 
 @jax.jit
-def _sim_row(emb, row_vec):
-    e = l2_normalize(emb.astype(jnp.float32))
+def _sim_row(emb_norm, row_vec):
+    """One row's exact similarities. emb_norm is ALREADY normalized by the
+    caller (find_duplicate_pairs_blocked normalizes once, up front) —
+    re-normalizing here cost a full (Gp, D) pass per saturated row."""
     r = l2_normalize(row_vec.astype(jnp.float32))
-    return jnp.dot(e, r, preferred_element_type=jnp.float32,
+    return jnp.dot(emb_norm.astype(jnp.float32), r,
+                   preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
 

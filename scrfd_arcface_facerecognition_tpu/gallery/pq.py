@@ -275,7 +275,8 @@ def adc_scores_mxu(lut: jnp.ndarray, codes: jnp.ndarray,
     consumed entirely in VMEM.
 
     The per-query cost drops with batch size until Q=128 fills the MXU's
-    rows (13.2 -> 5.1 ms/query at G=10M going 16 -> 128, docs/PERF.md);
+    rows (13.3 -> 5.2 ms/query hilo at G=10M going 16 -> 128, and 3.36
+    with the rerank-mode "hi" shortlist — docs/PERF.md "Query batching");
     queries beyond `max_q` are chunked — the (M, Qp, K) LUT block must fit
     VMEM (17.9 MB at Qp=256 overflows the 16 MB limit).
 

@@ -494,6 +494,16 @@ def infer_mbf_config(graph: OnnxGraph, name: str = "mbf_onnx"):
                 raise ConfigInferenceError(
                     "residual unit width differs from its stage width")
 
+    if stem_dw_groups is None and len(stage0) == 1:
+        # mbf_blocks[0]==1 is reserved for the bare stem-dw conv form
+        # (the released w600k_mbf shape); a stage0 of exactly one residual
+        # DepthWise unit (3 convs) cannot be expressed by the config and
+        # would desync the ordered importer deep inside the weight walk —
+        # fail here, at the point the ambiguity is actually detectable
+        raise ConfigInferenceError(
+            "stage0 has exactly one residual DepthWise unit, which "
+            "MobileFaceNet config cannot represent (blocks[0]==1 denotes "
+            "the bare stem-dw conv form)")
     mbf_blocks = (1 if stem_dw_groups is not None else len(stage0),
                   *blocks)
     scale = stem.out // 64 if stem.out % 64 == 0 else 1

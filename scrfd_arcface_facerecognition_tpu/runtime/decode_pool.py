@@ -200,6 +200,10 @@ class DecodePool:
             os.environ.update(scrubbed)
         self.n_workers = len(self._procs)
         self.frames_out = 0
+        # per-stream native frame dims (h, w), learned from each stream's
+        # first decoded frame — consumers (multistream writers) need the
+        # stream's OWN size, not the padded batch max
+        self.stream_dims: Dict[int, Tuple[int, int]] = {}
         self._t0 = time.monotonic()
 
     # ------------------------------------------------------------ consume
@@ -207,12 +211,15 @@ class DecodePool:
     def __iter__(self):
         live = set(range(self.n_streams))
         while live:
-            deadline = time.monotonic() + self.timeout_ms / 1000
             got: Dict[int, Tuple[int, int, int]] = {}
             for sid in sorted(live):
-                remaining = max(deadline - time.monotonic(), 0.001)
+                # each stream gets its own FULL timeout (MultiStreamReader
+                # semantics): a shared round deadline let one stalled
+                # camera exhaust the budget and cascade healthy streams
+                # out with near-zero remaining time
                 try:
-                    msg = self._filled_qs[sid].get(timeout=remaining)
+                    msg = self._filled_qs[sid].get(
+                        timeout=self.timeout_ms / 1000)
                 except _queue.Empty:
                     live.discard(sid)      # stalled camera drops out
                     continue
@@ -223,6 +230,8 @@ class DecodePool:
             if not got:
                 return
             ready = sorted(got)
+            for s in ready:
+                self.stream_dims.setdefault(s, (got[s][1], got[s][2]))
             h = max(got[s][1] for s in ready)
             w = max(got[s][2] for s in ready)
             batch = np.zeros((len(ready), h, w, 3), np.uint8)

@@ -18,7 +18,13 @@ from .native import FramePipe
 class BatchedFrameReader:
     """Iterate (n<=batch, H, W, 3) uint8 frame batches from a cv2 capture."""
 
-    def __init__(self, capture, batch: int = 8, ring_slots: int = 32):
+    def __init__(self, capture, batch: int = 8, ring_slots: int = 32,
+                 zero_copy: bool = True):
+        # zero_copy=False forces the legacy tobytes+pop path even when the
+        # native ring supports reserve/commit — the knob bench_ingest.py
+        # and the tests use to measure/exercise both producers (a
+        # post-construction patch raced the already-running producer
+        # thread, which samples the mode exactly once at startup)
         self.cap = capture
         self.batch = batch
         self._stop = threading.Event()
@@ -30,6 +36,7 @@ class BatchedFrameReader:
         self._empty = False
         self.shape = first.shape
         self._pipe = FramePipe(slot_bytes=first.nbytes, n_slots=ring_slots)
+        self._zero_copy = bool(zero_copy) and self._pipe.zero_copy
         self._pipe.push(first.tobytes())
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
@@ -40,7 +47,7 @@ class BatchedFrameReader:
         # cv2: one np.copyto). The legacy path costs two extra full-frame
         # copies per frame (frame.tobytes() + the ring push memcpy) under
         # the GIL — at 1080p that is ~12 MB/frame of avoidable memcpy.
-        zero_copy = self._pipe.zero_copy
+        zero_copy = self._zero_copy
         read_into = getattr(self.cap, "read_into", None)
         h, w, c = self.shape
         while not self._stop.is_set():
@@ -81,7 +88,7 @@ class BatchedFrameReader:
         if self._empty:
             return
         h, w, c = self.shape
-        zero_copy = self._pipe.zero_copy
+        zero_copy = self._zero_copy
         while True:
             batch = np.empty((self.batch, h, w, c), np.uint8)
             n = 0
@@ -90,6 +97,11 @@ class BatchedFrameReader:
                     # peek the slot and assemble the batch row directly
                     # out of the ring (the single remaining host copy)
                     rc, view = self._pipe.peek_view(timeout_ms=60000)
+                    if rc == 0:
+                        # timeout is a STALL, not end-of-stream — match the
+                        # legacy pop path's TimeoutError so callers can
+                        # distinguish a wedged camera from a finished video
+                        raise TimeoutError("peek_view timed out")
                     if rc != 1:
                         break
                     batch[bi] = view[:h * w * c].reshape(h, w, c)

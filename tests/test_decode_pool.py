@@ -104,10 +104,9 @@ def test_batched_reader_zero_copy_bit_exact(video):
 def test_batched_reader_legacy_path_matches(video):
     ref = _ref_frames(video)
     cap = open_capture(video)
-    r = BatchedFrameReader(cap, batch=7)
-    # force the copying fallback path
-    r._pipe.__class__ = type("CopyPipe", (r._pipe.__class__,),
-                             {"zero_copy": property(lambda self: False)})
+    # ctor knob (a post-construction patch raced the producer thread,
+    # which samples the mode once at startup)
+    r = BatchedFrameReader(cap, batch=7, zero_copy=False)
     got = np.concatenate([b.copy() for b in r], axis=0)
     r.close()
     cap.release()

@@ -82,12 +82,10 @@ def bench_batched_reader(path: str, zero_copy: bool, batch: int = 8):
         BatchedFrameReader, open_capture)
 
     cap = open_capture(path)
-    r = BatchedFrameReader(cap, batch=batch)
-    if not zero_copy:
-        # force the legacy path by masking the native capability
-        r._pipe.__class__ = type(
-            "CopyPipe", (r._pipe.__class__,),
-            {"zero_copy": property(lambda self: False)})
+    # ctor knob, not a post-construction patch: the producer thread
+    # samples the mode once at startup, so patching after __init__ raced
+    # it and could measure the zero-copy producer under the legacy label
+    r = BatchedFrameReader(cap, batch=batch, zero_copy=zero_copy)
     n = 0
     t0 = time.perf_counter()
     for b in r:
