@@ -55,8 +55,15 @@ def _standin_pipeline_parts(dtype, conf_thres, pre_nms, max_det):
     from scrfd_arcface_facerecognition_tpu.pipeline.embedder import Embedder
 
     cache = os.path.join(_REPO_ROOT, ".bench_standins")
-    det_path = os.path.join(cache, "det_10g_standin.onnx")
-    rec_path = os.path.join(cache, "w600k_r50_standin.onnx")
+    # key the cache on the stand-in DEFINITION (tests/torch_export.py
+    # bytes): an unkeyed cache kept serving ONNX from a previous definition
+    # after edits (as happened with gn_groups), silently benching bytes
+    # that no longer match what verify_release signs off
+    with open(os.path.join(_REPO_ROOT, "tests", "torch_export.py"),
+              "rb") as f:
+        def_key = f"{zlib.crc32(f.read()):08x}"
+    det_path = os.path.join(cache, f"det_10g_standin_{def_key}.onnx")
+    rec_path = os.path.join(cache, f"w600k_r50_standin_{def_key}.onnx")
     if not (os.path.exists(det_path) and os.path.exists(rec_path)):
         os.makedirs(cache, exist_ok=True)
         sys.path.insert(0, os.path.join(_REPO_ROOT, "tests"))

@@ -47,6 +47,11 @@ def parse_args(argv=None):
     parser.add_argument("--decode-workers", type=int, default=0,
                         help="Decode processes for --decode-pool "
                              "(0 = one per core)")
+    parser.add_argument("--slot-bytes", type=int, default=0,
+                        help="Shared-memory frame slot size for "
+                             "--decode-pool (0 = 1080p BGR). Must cover "
+                             "the largest source's h*w*3 — oversized "
+                             "frames drop the stream with an error log")
     return parser.parse_args(argv)
 
 
@@ -80,7 +85,9 @@ def run(params) -> dict:
         from ..runtime.decode_pool import DecodePool
 
         reader = DecodePool(params.sources,
-                            workers=params.decode_workers or None)
+                            workers=params.decode_workers or None,
+                            slot_bytes=getattr(params, "slot_bytes", 0)
+                            or None)
     else:
         reader = MultiStreamReader([open_capture(s)
                                     for s in params.sources])
@@ -118,7 +125,11 @@ def run(params) -> dict:
                                            {}).get(sid)
                             sh, sw = dims if dims else (batch.shape[1],
                                                         batch.shape[2])
-                            fps = 24.0
+                            # the pool records each stream's real rate off
+                            # its capture (a hardcoded 24.0 played 30 fps
+                            # cameras 20% slow)
+                            fps = getattr(reader, "stream_fps",
+                                          {}).get(sid) or 24.0
                         writers[sid] = (cv2.VideoWriter(
                             os.path.join(params.output_dir,
                                          f"stream_{sid}.mp4"),

@@ -44,10 +44,12 @@ class AutoGallery:
                  mesh=None, axis: str = "model"):
         if tier not in ("auto", "dense", "pq"):
             raise ValueError(f"unknown tier {tier!r}")
-        if vector_size % pq_m:
+        if tier != "dense" and vector_size % pq_m:
             # fail at construction, not at the migration threshold (where
             # PQCodec.train would raise long after the misconfiguration,
-            # with the dense tier already past its budget)
+            # with the dense tier already past its budget). A forced-dense
+            # gallery can never reach the PQ tier, so an odd vector_size is
+            # legal there (parity with the old GalleryStore wiring).
             raise ValueError(
                 f"vector_size {vector_size} not divisible by pq_m={pq_m}: "
                 f"the PQ tier cannot encode it")
@@ -282,6 +284,9 @@ class AutoGallery:
     def duplicate_groups(self, threshold: float) -> List[List[int]]:
         """Merge worklist (groups of ids to fold into their lowest id),
         tier-blind: exact rows, blocked pair scan past 8k rows."""
+        if self._pq is None:
+            # single implementation lives on the dense store
+            return self._dense.duplicate_groups(threshold)
         from .dedup import duplicate_groups
 
         mat, ids = self.dense_matrix()
@@ -302,19 +307,34 @@ class AutoGallery:
                        for i in self._row_of}, f)
         os.replace(tmp, path + ".meta.json")
 
+    @staticmethod
+    def _is_pq_snapshot(path: str) -> bool:
+        """Format sniff by container members, NOT by whether PQ restore
+        succeeds — a corrupt/truncated PQ snapshot must surface the real
+        PQ error, not a misleading dense-format one. PQ snapshots are npz
+        archives with a `codes` member; dense snapshots are the native CRC
+        binary (or an npz with `embeddings` when the lib is absent)."""
+        import zipfile
+
+        if not zipfile.is_zipfile(path):
+            return False
+        try:
+            with zipfile.ZipFile(path) as zf:
+                names = set(zf.namelist())
+        except zipfile.BadZipFile:
+            return False
+        return "codes.npy" in names and "centroids.npy" in names
+
     @classmethod
     def restore(cls, path: str, **kwargs) -> "AutoGallery":
         """Rebuild from either tier's snapshot (sniffed by content)."""
         g = cls(**kwargs)
-        try:
+        if g._is_pq_snapshot(path):
             # honor the facade's runtime sharding choices: a snapshot
             # restored without them would leave a 10M-row code matrix
             # unsharded on one device
             pq = PQGallery.restore(path, mesh=g.mesh, axis=g.axis)
-            is_pq = True
-        except Exception:
-            is_pq = False
-        if not is_pq:
+        else:
             g._dense = GalleryStore.restore(path)
             if g._migration_due():
                 g._migrate()

@@ -149,13 +149,21 @@ def find_duplicate_pairs_blocked(
                 if hit[bi].all():
                     saturated.append(row)
     # rows whose ENTIRE top-k cleared the threshold may have more
-    # duplicates past the cap: rescan those rows exactly (full-width)
+    # duplicates past the cap: rescan those rows exactly (full-width).
+    # Index the already-found pairs ONCE — re-filtering the full pairs
+    # list per saturated row is O(saturated x total_pairs) host time,
+    # which dwarfs the device scan on duplicate-heavy million-row
+    # galleries (10k saturated rows x 1M pairs = 1e10 comparisons)
+    if saturated:
+        have_by_row: dict = {}
+        for a, b, _ in pairs:
+            have_by_row.setdefault(a, set()).add(b)
     for row in saturated:
         sims = np.asarray(
             _sim_row(emb_dev, jnp.asarray(mat[row])))[:g]
         extra = np.nonzero((sims >= threshold)
                            & (np.arange(g) > row))[0]
-        have = {p[1] for p in pairs if p[0] == ids[row]}
+        have = have_by_row.get(ids[row], set())
         for col in extra:
             if ids[int(col)] not in have:
                 pairs.append((ids[row], ids[int(col)],

@@ -29,6 +29,7 @@ RTSP is the reference's serving deployment).
 """
 from __future__ import annotations
 
+import logging
 import multiprocessing as mp
 import os
 import queue as _queue
@@ -36,6 +37,8 @@ import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 # Env vars that make child interpreters register the TPU tunnel at startup
 # (sitecustomize): decode workers never touch JAX, and a scrubbed child
@@ -51,6 +54,7 @@ def _decode_into(cap, buf: np.ndarray, slot: int,
     if read_into is not None:
         h, w = cap.height, cap.width
         if h * w * 3 > slot_bytes:
+            _warn_oversize(h, w, slot_bytes)
             return False, 0, 0
         ok = read_into(view[:h * w * 3].reshape(h, w, 3))
         return (True, h, w) if ok else (False, 0, 0)
@@ -60,9 +64,31 @@ def _decode_into(cap, buf: np.ndarray, slot: int,
     h, w = frame.shape[:2]
     n = h * w * 3
     if n > slot_bytes:
+        _warn_oversize(h, w, slot_bytes)
         return False, 0, 0
     np.copyto(view[:n].reshape(h, w, 3), frame)
     return True, h, w
+
+
+def _warn_oversize(h: int, w: int, slot_bytes: int) -> None:
+    # A silent eos here is indistinguishable from an empty source — say
+    # WHY the stream dropped and how to fix it (multistream: --slot-bytes).
+    logger.error(
+        "decode pool: %dx%d frame needs %d bytes but slot_bytes=%d — "
+        "stream drops out; construct DecodePool with slot_bytes >= the "
+        "largest source's h*w*3 (CLI: --slot-bytes)",
+        w, h, h * w * 3, slot_bytes)
+
+
+def _stream_fps(cap) -> float:
+    """Source frame rate (NativeVideoReader.fps / cv2 CAP_PROP_FPS=5)."""
+    fps = float(getattr(cap, "fps", 0.0) or 0.0)
+    if fps <= 0:
+        try:
+            fps = float(cap.get(5))   # cv2.CAP_PROP_FPS
+        except Exception:
+            fps = 0.0
+    return fps if fps > 0 else 24.0
 
 
 def _worker_main(sources: Sequence, stream_ids: Sequence[int],
@@ -84,9 +110,11 @@ def _worker_main(sources: Sequence, stream_ids: Sequence[int],
     buf = np.frombuffer(shm.buf, np.uint8)
     try:
         live: Dict[int, object] = {}
+        fps_map: Dict[int, float] = {}
         for sid, src in zip(stream_ids, sources):
             try:
                 live[sid] = open_capture(src)
+                fps_map[sid] = _stream_fps(live[sid])
             except Exception:
                 filled_qs[sid].put(None)
         while live and not stop_evt.is_set():
@@ -106,7 +134,7 @@ def _worker_main(sources: Sequence, stream_ids: Sequence[int],
                     del live[sid]
                     filled_qs[sid].put(None)
                     continue
-                filled_qs[sid].put((slot, h, w))
+                filled_qs[sid].put((slot, h, w, fps_map[sid]))
         for sid, cap in live.items():
             try:
                 cap.release()
@@ -204,6 +232,9 @@ class DecodePool:
         # first decoded frame — consumers (multistream writers) need the
         # stream's OWN size, not the padded batch max
         self.stream_dims: Dict[int, Tuple[int, int]] = {}
+        # per-stream source frame rate, for consumers writing annotated
+        # video (a hardcoded fps makes 30 fps cameras play 20% slow)
+        self.stream_fps: Dict[int, float] = {}
         self._t0 = time.monotonic()
 
     # ------------------------------------------------------------ consume
@@ -211,7 +242,7 @@ class DecodePool:
     def __iter__(self):
         live = set(range(self.n_streams))
         while live:
-            got: Dict[int, Tuple[int, int, int]] = {}
+            got: Dict[int, Tuple[int, int, int, float]] = {}
             for sid in sorted(live):
                 # each stream gets its own FULL timeout (MultiStreamReader
                 # semantics): a shared round deadline let one stalled
@@ -232,11 +263,12 @@ class DecodePool:
             ready = sorted(got)
             for s in ready:
                 self.stream_dims.setdefault(s, (got[s][1], got[s][2]))
+                self.stream_fps.setdefault(s, got[s][3])
             h = max(got[s][1] for s in ready)
             w = max(got[s][2] for s in ready)
             batch = np.zeros((len(ready), h, w, 3), np.uint8)
             for bi, sid in enumerate(ready):
-                slot, fh, fw = got[sid]
+                slot, fh, fw, _ = got[sid]
                 view = self._buf[slot * self.slot_bytes:
                                  slot * self.slot_bytes + fh * fw * 3]
                 batch[bi, :fh, :fw] = view.reshape(fh, fw, 3)

@@ -50,39 +50,47 @@ class BatchedFrameReader:
         zero_copy = self._zero_copy
         read_into = getattr(self.cap, "read_into", None)
         h, w, c = self.shape
-        while not self._stop.is_set():
-            if zero_copy:
-                view = None
-                while not self._stop.is_set():
-                    view = self._pipe.reserve_view(timeout_ms=200)
-                    if view is not None:
+        # finally: the pipe MUST close even if the loop body raises (e.g.
+        # np.copyto on a mid-stream resolution change), or the consumer
+        # blocks the full peek timeout and misreports a dead stream as a
+        # wedged camera
+        try:
+            while not self._stop.is_set():
+                if zero_copy:
+                    view = None
+                    while not self._stop.is_set():
+                        view = self._pipe.reserve_view(timeout_ms=200)
+                        if view is not None:
+                            break
+                    if view is None:
                         break
-                if view is None:
-                    break
-                slot = view[:h * w * c].reshape(h, w, c)
-                if read_into is not None:
-                    ok = read_into(slot)
-                else:
-                    ok, frame = self.cap.read()
-                    if ok:
-                        np.copyto(slot, frame)
+                    slot = view[:h * w * c].reshape(h, w, c)
+                    if read_into is not None:
+                        ok = read_into(slot)
+                    else:
+                        ok, frame = self.cap.read()
+                        if ok:
+                            if frame.shape != (h, w, c):
+                                break   # mid-stream resolution change
+                            np.copyto(slot, frame)
+                    if not ok:
+                        break
+                    self._pipe.commit()
+                    continue
+                ok, frame = self.cap.read()
                 if not ok:
                     break
-                self._pipe.commit()
-                continue
-            ok, frame = self.cap.read()
-            if not ok:
-                break
-            # short push slices that re-check stop, so close() can always
-            # unblock a producer stuck on a full ring
-            pushed = False
-            while not self._stop.is_set():
-                if self._pipe.push(frame.tobytes(), timeout_ms=200):
-                    pushed = True
+                # short push slices that re-check stop, so close() can
+                # always unblock a producer stuck on a full ring
+                pushed = False
+                while not self._stop.is_set():
+                    if self._pipe.push(frame.tobytes(), timeout_ms=200):
+                        pushed = True
+                        break
+                if not pushed:
                     break
-            if not pushed:
-                break
-        self._pipe.close()
+        finally:
+            self._pipe.close()
 
     def __iter__(self) -> Iterator[np.ndarray]:
         if self._empty:

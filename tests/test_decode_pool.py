@@ -131,11 +131,14 @@ def test_decode_pool_complete_ordered(video):
         for bi, sid in enumerate(ids):
             seq[sid].append(_frame_index(batch[bi], lut))
         total += len(ids)
-    pool.release()
     assert total == 3 * len(ref)
     for sid in range(3):
         # every stream delivered every frame, in order
         assert seq[sid] == list(range(len(ref))), sid
+        # the pool learns each stream's real rate (writers need it; a
+        # hardcoded 24.0 played 30 fps cameras 20% slow)
+        assert abs(pool.stream_fps[sid] - 24.0) < 1.0, pool.stream_fps
+    pool.release()
 
 
 def test_decode_pool_single_worker_many_streams(video):

@@ -175,3 +175,51 @@ def test_search_threshold_filtering_pq():
     hits = g.search_similar(rows[0], k=12, threshold=0.9)
     assert all(h.score >= 0.9 for h in hits)
     assert {h.id for h in hits} == {0, 1}      # same identity only
+
+
+def test_dense_tier_allows_odd_vector_size():
+    # a forced-dense gallery can never reach the PQ tier, so a vector_size
+    # not divisible by pq_m must construct and work (parity with the old
+    # GalleryStore wiring the clustering engine used before AutoGallery)
+    g = AutoGallery(vector_size=200, tier="dense")
+    rng = np.random.default_rng(11)
+    rows = _rows(rng, 4, d=200)
+    assert g.add_batch(np.arange(4), rows) == 4
+    assert g.search_similar(rows[2], k=1)[0].id == 2
+    # pq/auto tiers still fail loudly at construction
+    for tier in ("auto", "pq"):
+        with pytest.raises(ValueError):
+            AutoGallery(vector_size=200, tier=tier)
+
+
+def test_restore_sniffs_by_format_not_exception(tmp_path):
+    rng = np.random.default_rng(12)
+    rows = _rows(rng, 8)
+    dense = AutoGallery(tier="dense")
+    dense.add_batch(np.arange(8), rows)
+    dpath = str(tmp_path / "dense.bin")
+    dense.snapshot(dpath)
+    assert not AutoGallery._is_pq_snapshot(dpath)
+
+    pq = AutoGallery(tier="pq", min_train_rows=4)
+    pq.add_batch(np.arange(8), rows)
+    ppath = str(tmp_path / "pq.bin")
+    pq.snapshot(ppath)
+    assert AutoGallery._is_pq_snapshot(ppath)
+
+    # a corrupt PQ snapshot must surface the REAL (PQ) error, not be
+    # silently retried as a dense snapshot and fail with a misleading
+    # dense-format message
+    import zipfile
+
+    import numpy as _np
+    bad = str(tmp_path / "bad_pq.bin")
+    with zipfile.ZipFile(bad, "w") as zf:
+        with zf.open("centroids.npy", "w") as f:
+            _np.save(f, _np.zeros((2, 2), _np.float32))
+        with zf.open("codes.npy", "w") as f:
+            _np.save(f, _np.zeros((2, 2), _np.uint8))
+    assert AutoGallery._is_pq_snapshot(bad)
+    with pytest.raises(Exception) as ei:
+        AutoGallery.restore(bad)
+    assert "dense" not in str(ei.value).lower()

@@ -135,7 +135,10 @@ def main():
     ap.add_argument("--streams", default="1,2,4,8")
     args = ap.parse_args()
     w, h = (int(x) for x in args.res.split("x"))
-    path = f"/tmp/ingest_bench_{w}x{h}.mp4"
+    # key the cached file on EVERY generation parameter — a resolution-only
+    # key silently reused a stale 300-frame mp4v file for --fourcc h264 /
+    # --frames runs, measuring content that didn't match the printed label
+    path = f"/tmp/ingest_bench_{w}x{h}_{args.fourcc}_{args.frames}.mp4"
     if not os.path.exists(path):
         print(f"writing synthetic {args.fourcc} video {w}x{h} "
               f"x{args.frames} ...", file=sys.stderr)

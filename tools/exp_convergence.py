@@ -33,9 +33,15 @@ import numpy as np
 # ------------------------------------------------------------------ arcface
 
 
-def identity_image(base, rng, shift=2, noise=0.25):
+def identity_image(base, rng, shift=4, noise=2.5):
     """One 112x112 sample of an identity: its base pattern, randomly
-    shifted a few pixels and noised (normalized-space images)."""
+    shifted a few pixels and heavily noised (normalized-space images).
+
+    noise=2.5 (2.5x the base pattern's own std) is calibrated so a
+    RANDOM-INIT embedder scores near chance on the verification pairs —
+    at the original 0.25 the identity pattern dominated pixel space and
+    even untrained random features separated the pairs (step-0 accuracy
+    0.985), which evidenced nothing about learning."""
     dx, dy = rng.integers(-shift, shift + 1, size=2)
     img = np.roll(base, (int(dy), int(dx)), axis=(0, 1))
     return img + noise * rng.normal(size=img.shape).astype(np.float32)
