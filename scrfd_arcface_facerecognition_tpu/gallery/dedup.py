@@ -150,34 +150,42 @@ def find_duplicate_pairs_blocked(
                     saturated.append(row)
     # rows whose ENTIRE top-k cleared the threshold may have more
     # duplicates past the cap: rescan those rows exactly (full-width).
-    # Index the already-found pairs ONCE — re-filtering the full pairs
-    # list per saturated row is O(saturated x total_pairs) host time,
-    # which dwarfs the device scan on duplicate-heavy million-row
-    # galleries (10k saturated rows x 1M pairs = 1e10 comparisons)
+    # Two scaling hazards on duplicate-heavy galleries, both handled:
+    # index the found pairs ONCE (re-filtering the full pair list per row
+    # is O(saturated x total_pairs) host time — 1e10 comparisons at 10k
+    # rows x 1M pairs), and rescan rows in BATCHED device calls (one
+    # dispatch per row pays the tunnel round-trip per saturated row; a
+    # (chunk, G) matmul pays it once per chunk).
     if saturated:
         have_by_row: dict = {}
         for a, b, _ in pairs:
             have_by_row.setdefault(a, set()).add(b)
-    for row in saturated:
-        sims = np.asarray(
-            _sim_row(emb_dev, jnp.asarray(mat[row])))[:g]
-        extra = np.nonzero((sims >= threshold)
-                           & (np.arange(g) > row))[0]
-        have = have_by_row.get(ids[row], set())
-        for col in extra:
-            if ids[int(col)] not in have:
-                pairs.append((ids[row], ids[int(col)],
-                              float(sims[int(col)])))
+        cols_idx = np.arange(g)
+        # same HBM cap as the main scan: chunk x Gp f32 slab next to rows
+        chunk = max(1, min(256, (2 << 30) // max(4 * g, 1)))
+        for c0 in range(0, len(saturated), chunk):
+            rows = saturated[c0:c0 + chunk]
+            sims = np.asarray(_sim_rows(
+                emb_dev, jnp.asarray(mat[rows])))[:, :g]
+            for ri, row in enumerate(rows):
+                extra = np.nonzero((sims[ri] >= threshold)
+                                   & (cols_idx > row))[0]
+                have = have_by_row.get(ids[row], set())
+                for col in extra:
+                    if ids[int(col)] not in have:
+                        pairs.append((ids[row], ids[int(col)],
+                                      float(sims[ri, int(col)])))
     return pairs
 
 
 @jax.jit
-def _sim_row(emb_norm, row_vec):
-    """One row's exact similarities. emb_norm is ALREADY normalized by the
-    caller (find_duplicate_pairs_blocked normalizes once, up front) —
-    re-normalizing here cost a full (Gp, D) pass per saturated row."""
-    r = l2_normalize(row_vec.astype(jnp.float32))
-    return jnp.dot(emb_norm.astype(jnp.float32), r,
+def _sim_rows(emb_norm, row_vecs):
+    """A chunk of rows' exact similarities: (chunk, D) x (Gp, D)^T.
+    emb_norm is ALREADY normalized by the caller
+    (find_duplicate_pairs_blocked normalizes once, up front) —
+    re-normalizing here cost a full (Gp, D) pass per saturated chunk."""
+    r = l2_normalize(row_vecs.astype(jnp.float32))
+    return jnp.dot(r, emb_norm.astype(jnp.float32).T,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
