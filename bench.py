@@ -81,6 +81,13 @@ def _standin_pipeline_parts(dtype, conf_thres, pre_nms, max_det):
                     seed=zlib.crc32(b"w600k_r50") % 1000)
         export_onnx(rm, torch.randn(1, 3, 112, 112), rec_path + ".tmp")
         os.replace(rec_path + ".tmp", rec_path)
+        # evict stale definitions (incl. pre-keying legacy names): each
+        # pair is ~190 MB and a long-lived machine would otherwise
+        # accumulate one per historical torch_export.py edit
+        for f in os.listdir(cache):
+            full = os.path.join(cache, f)
+            if full not in (det_path, rec_path) and f.endswith(".onnx"):
+                os.remove(full)
 
     det_m, det_v = flax_from_onnx(det_path, name="det_10g")
     det = Detector(config=det_m.config, variables=det_v, dtype=dtype,

@@ -283,15 +283,12 @@ class AutoGallery:
 
     def duplicate_groups(self, threshold: float) -> List[List[int]]:
         """Merge worklist (groups of ids to fold into their lowest id),
-        tier-blind: exact rows, blocked pair scan past 8k rows."""
-        if self._pq is None:
-            # single implementation lives on the dense store
-            return self._dense.duplicate_groups(threshold)
+        tier-blind: exact rows, blocked pair scan past 8k rows. One
+        implementation for both tiers — dense_matrix() already abstracts
+        where the exact rows live."""
         from .dedup import duplicate_groups
 
         mat, ids = self.dense_matrix()
-        if len(ids) < 2:
-            return []
         return duplicate_groups(mat, threshold, ids)
 
     # ------------------------------------------------------- persistence
@@ -308,28 +305,51 @@ class AutoGallery:
         os.replace(tmp, path + ".meta.json")
 
     @staticmethod
-    def _is_pq_snapshot(path: str) -> bool:
-        """Format sniff by container members, NOT by whether PQ restore
-        succeeds — a corrupt/truncated PQ snapshot must surface the real
-        PQ error, not a misleading dense-format one. PQ snapshots are npz
-        archives with a `codes` member; dense snapshots are the native CRC
-        binary (or an npz with `embeddings` when the lib is absent)."""
+    def _snapshot_tier(path: str) -> str:
+        """Classify a snapshot file by FORMAT, not by whether a restore
+        succeeds — a corrupt snapshot must surface an error naming its
+        real tier (or say it is unrecognizable), never a misleading
+        other-tier parse failure. Formats:
+
+        - dense native: starts with the gs_write magic ``SAFRGAL1``
+          (native/src/gallery_snapshot.cpp)
+        - PQ: npz (zip) with ``codes``/``centroids`` members
+        - dense npz fallback (no native lib): zip with ``embeddings``
+        """
         import zipfile
 
+        with open(path, "rb") as f:
+            head = f.read(8)
+        if head == b"SAFRGAL1":
+            return "dense"
+        if not head.startswith(b"PK"):
+            raise ValueError(
+                f"{path}: not a gallery snapshot (neither the native "
+                f"SAFRGAL1 format nor an npz container)")
         if not zipfile.is_zipfile(path):
-            return False
-        try:
-            with zipfile.ZipFile(path) as zf:
-                names = set(zf.namelist())
-        except zipfile.BadZipFile:
-            return False
-        return "codes.npy" in names and "centroids.npy" in names
+            raise ValueError(
+                f"{path}: zip container damaged (truncated snapshot? "
+                f"could be either tier — restore from a good copy)")
+        with zipfile.ZipFile(path) as zf:
+            names = set(zf.namelist())
+        if "codes.npy" in names and "centroids.npy" in names:
+            return "pq"
+        if "embeddings.npy" in names:
+            return "dense"
+        raise ValueError(
+            f"{path}: npz lacks both PQ (codes/centroids) and dense "
+            f"(embeddings) members: {sorted(names)[:6]}")
+
+    # kept for callers/tests that only need the boolean question
+    @classmethod
+    def _is_pq_snapshot(cls, path: str) -> bool:
+        return cls._snapshot_tier(path) == "pq"
 
     @classmethod
     def restore(cls, path: str, **kwargs) -> "AutoGallery":
         """Rebuild from either tier's snapshot (sniffed by content)."""
         g = cls(**kwargs)
-        if g._is_pq_snapshot(path):
+        if g._snapshot_tier(path) == "pq":
             # honor the facade's runtime sharding choices: a snapshot
             # restored without them would leave a 10M-row code matrix
             # unsharded on one device

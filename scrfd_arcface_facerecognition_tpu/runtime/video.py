@@ -80,6 +80,11 @@ class BatchedFrameReader:
                 ok, frame = self.cap.read()
                 if not ok:
                     break
+                if frame.shape != (h, w, c):
+                    # mid-stream resolution change: a larger frame makes
+                    # fp_push reject instantly (hot spin, never eos); a
+                    # smaller one corrupts the consumer's fixed reshape
+                    break
                 # short push slices that re-check stop, so close() can
                 # always unblock a producer stuck on a full ring
                 pushed = False

@@ -5,6 +5,7 @@ same hits, same true-cosine scores (PQ searches rerank exactly), same
 upsert/delete semantics, same merge worklists — checked by running both
 tiers side by side on identity-structured data.
 """
+import os
 import numpy as np
 import pytest
 
@@ -223,3 +224,24 @@ def test_restore_sniffs_by_format_not_exception(tmp_path):
     with pytest.raises(Exception) as ei:
         AutoGallery.restore(bad)
     assert "dense" not in str(ei.value).lower()
+
+
+def test_restore_truncated_and_alien_snapshots_fail_loudly(tmp_path):
+    # truncated zip (PQ snapshot cut mid-copy): must say the container is
+    # damaged, not misroute to the dense reader's unrelated error
+    rng = np.random.default_rng(13)
+    pq = AutoGallery(tier="pq", min_train_rows=4)
+    pq.add_batch(np.arange(8), _rows(rng, 8))
+    full = str(tmp_path / "pq_full.bin")
+    pq.snapshot(full)
+    cut = str(tmp_path / "pq_cut.bin")
+    with open(full, "rb") as f, open(cut, "wb") as g:
+        g.write(f.read()[: os.path.getsize(full) // 2])
+    with pytest.raises(ValueError, match="damaged|truncated"):
+        AutoGallery.restore(cut)
+
+    alien = str(tmp_path / "alien.bin")
+    with open(alien, "wb") as f:
+        f.write(b"definitely not a snapshot")
+    with pytest.raises(ValueError, match="not a gallery snapshot"):
+        AutoGallery.restore(alien)
