@@ -77,6 +77,30 @@ class FaceAnalysis:
                                       embedder=self.embedder,
                                       gallery_capacity=8, max_det=max_det,
                                       **(pipeline_kwargs or {}))
+        self._microbatcher = None
+
+    def enable_microbatch(self, max_batch: int = 32,
+                          max_wait_ms: float = 4.0):
+        """Coalesce concurrent get() calls (e.g. web request threads) into
+        shared device batches (runtime/microbatch.MicroBatcher): one
+        16-wide detect+embed program costs barely more than a 1-wide one,
+        so N concurrent single-image requests should share a batch instead
+        of issuing N batch-1 programs. get_batch() already shape-buckets,
+        so mixed request shapes are fine. Returns the batcher (stats:
+        n_items/n_batches/max_batch_seen)."""
+        from ..runtime.microbatch import MicroBatcher
+
+        if self._microbatcher is None:
+            self._microbatcher = MicroBatcher(
+                lambda imgs, max_num=0: self.get_batch(imgs,
+                                                       max_num=max_num),
+                max_batch=max_batch, max_wait_ms=max_wait_ms)
+        return self._microbatcher
+
+    def disable_microbatch(self) -> None:
+        if self._microbatcher is not None:
+            self._microbatcher.close()
+            self._microbatcher = None
 
     def prepare(self, ctx_id: int = 0, det_size: Tuple[int, int] = (640, 640),
                 det_thresh: float = 0.5) -> None:
@@ -91,7 +115,18 @@ class FaceAnalysis:
         self._pipe._jitted.clear()
 
     def get(self, image, max_num: int = 0) -> List[Face]:
-        """Detect + align + embed every face in one BGR image."""
+        """Detect + align + embed every face in one BGR image. With
+        enable_microbatch(), concurrent calls from different threads
+        coalesce into shared device batches."""
+        mb = self._microbatcher
+        if mb is not None:
+            import threading as _th
+
+            # the collector thread itself must never re-enter submit()
+            if _th.current_thread() is not mb._thread:
+                return mb.submit(np.asarray(image),
+                                 key=("max_num", max_num),
+                                 key_kwargs={"max_num": max_num})
         return self.get_batch([np.asarray(image)], max_num=max_num)[0]
 
     # shape-groups at least this large run the static per-shape program

@@ -11,6 +11,8 @@ from .native import (
     snapshot_write, snapshot_read,
 )
 from .video import BatchedFrameReader
+from .microbatch import MicroBatcher
 
 __all__ = ["native_available", "build_native", "FramePipe", "uf_group_roots",
-           "snapshot_write", "snapshot_read", "BatchedFrameReader"]
+           "snapshot_write", "snapshot_read", "BatchedFrameReader",
+           "MicroBatcher"]

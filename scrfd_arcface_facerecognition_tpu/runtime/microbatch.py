@@ -1,0 +1,145 @@
+"""Dynamic micro-batching: concurrent single-item calls -> shared batches.
+
+A TPU earns its throughput on BATCHES: one 16-image detect+embed program
+costs barely more than a 1-image one (docs/PERF.md batch sweeps), but a
+web server handles requests one image at a time on separate threads — the
+reference's serving shape (FastAPI request handlers calling
+`app.get(image)`, smart_face_recognition.py:912-913; our webapp is the
+same). Without coalescing, N concurrent requests issue N batch-1 device
+programs and the MXU idles.
+
+MicroBatcher is the classic dynamic-batching collector (the Triton /
+TF-Serving lever, built tpu-first): callers block in `submit()`, a
+collector thread drains the queue for at most `max_wait_ms` (or until
+`max_batch`), groups compatible requests, issues ONE batched call, and
+distributes per-item results. Latency cost is bounded by `max_wait_ms`;
+throughput gain is the batch width. Grouping is by an explicit `key`
+(e.g. the `max_num` argument) — items with different keys never share a
+call; shape mixing is the batch_fn's job (FaceAnalysis.get_batch already
+shape-buckets internally).
+
+This is a host-side runtime component: no JAX in here, so it is equally
+usable around any batchable function (embed-only, compare, custom heads).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, Hashable, List, Optional, Sequence
+
+_SENTINEL = object()
+
+
+class MicroBatcher:
+    """Coalesce concurrent `submit(item)` calls into `batch_fn(items)`.
+
+    batch_fn: Callable[[List[item], **key_kwargs], Sequence[result]] —
+        must return one result per item, in order.
+    max_batch: hard cap on items per batched call.
+    max_wait_ms: how long the collector waits for followers after the
+        first item of a batch arrives. 0 still batches whatever is
+        already queued (pure opportunistic coalescing).
+    """
+
+    def __init__(self, batch_fn: Callable[..., Sequence[Any]],
+                 max_batch: int = 32, max_wait_ms: float = 4.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.batch_fn = batch_fn
+        self.max_batch = int(max_batch)
+        self.max_wait_s = max(0.0, float(max_wait_ms)) / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        # observability + test oracle: how much coalescing actually happens
+        self.n_items = 0
+        self.n_batches = 0
+        self.max_batch_seen = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="microbatcher")
+        self._thread.start()
+
+    # ---------------------------------------------------------------- API
+
+    def submit(self, item: Any, key: Hashable = None,
+               key_kwargs: Optional[Dict[str, Any]] = None) -> Any:
+        """Block until the batched call containing `item` completes and
+        return this item's result (or raise the batch's exception).
+
+        key: items batch together only when their keys are equal.
+        key_kwargs: kwargs passed to batch_fn for this key's group (must
+        be deterministic per key — the first seen wins for the group).
+        """
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._q.put((item, key, dict(key_kwargs or {}), fut))
+        return fut.result()
+
+    def close(self, join_timeout: float = 5.0) -> None:
+        """Stop the collector; pending items still get served first."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(_SENTINEL)
+        self._thread.join(timeout=join_timeout)
+
+    # ---------------------------------------------------------- collector
+
+    def _loop(self) -> None:
+        while True:
+            head = self._q.get()
+            if head is _SENTINEL:
+                return
+            batch = [head]
+            deadline = time.monotonic() + self.max_wait_s
+            stop_after = False
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                try:
+                    nxt = (self._q.get_nowait() if remaining <= 0
+                           else self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+                if nxt is _SENTINEL:
+                    stop_after = True
+                    break
+                batch.append(nxt)
+            self._run(batch)
+            if stop_after:
+                # drain anything that slipped in before the sentinel
+                leftover = []
+                while True:
+                    try:
+                        e = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if e is not _SENTINEL:
+                        leftover.append(e)
+                if leftover:
+                    self._run(leftover)
+                return
+
+    def _run(self, entries: List) -> None:
+        groups: Dict[Hashable, List] = {}
+        for e in entries:
+            groups.setdefault(e[1], []).append(e)
+        for key_entries in groups.values():
+            items = [e[0] for e in key_entries]
+            kwargs = key_entries[0][2]
+            try:
+                results = self.batch_fn(items, **kwargs)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"batch_fn returned {len(results)} results for "
+                        f"{len(items)} items")
+            except BaseException as ex:   # noqa: BLE001 — deliver to waiters
+                for e in key_entries:
+                    e[3].set_exception(ex)
+                continue
+            self.n_items += len(items)
+            self.n_batches += 1
+            self.max_batch_seen = max(self.max_batch_seen, len(items))
+            for e, r in zip(key_entries, results):
+                e[3].set_result(r)
