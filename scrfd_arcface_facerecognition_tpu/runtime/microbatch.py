@@ -84,6 +84,16 @@ class MicroBatcher:
         self._closed = True
         self._q.put(_SENTINEL)
         self._thread.join(timeout=join_timeout)
+        # a submit() that passed the closed-check but enqueued after the
+        # collector exited would otherwise block its caller forever —
+        # fail those futures loudly instead
+        while True:
+            try:
+                e = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if e is not _SENTINEL:
+                e[3].set_exception(RuntimeError("MicroBatcher is closed"))
 
     # ---------------------------------------------------------- collector
 
