@@ -90,11 +90,19 @@ class FaceAnalysis:
         n_items/n_batches/max_batch_seen)."""
         from ..runtime.microbatch import MicroBatcher
 
-        if self._microbatcher is None:
-            self._microbatcher = MicroBatcher(
-                lambda imgs, max_num=0: self.get_batch(imgs,
-                                                       max_num=max_num),
-                max_batch=max_batch, max_wait_ms=max_wait_ms)
+        if self._microbatcher is not None:
+            mb = self._microbatcher
+            if (mb.max_batch, mb.max_wait_s * 1000) != (max_batch,
+                                                        max_wait_ms):
+                # silently returning the old batcher would make the new
+                # settings never take effect
+                raise ValueError(
+                    "microbatch already enabled with different parameters "
+                    "— disable_microbatch() first to retune")
+            return mb
+        self._microbatcher = MicroBatcher(
+            lambda imgs, max_num=0: self.get_batch(imgs, max_num=max_num),
+            max_batch=max_batch, max_wait_ms=max_wait_ms)
         return self._microbatcher
 
     def disable_microbatch(self) -> None:
@@ -122,11 +130,16 @@ class FaceAnalysis:
         if mb is not None:
             import threading as _th
 
+            from ..runtime.microbatch import MicroBatcherClosed
+
             # the collector thread itself must never re-enter submit()
             if _th.current_thread() is not mb._thread:
-                return mb.submit(np.asarray(image),
-                                 key=("max_num", max_num),
-                                 key_kwargs={"max_num": max_num})
+                try:
+                    return mb.submit(np.asarray(image),
+                                     key=("max_num", max_num),
+                                     key_kwargs={"max_num": max_num})
+                except MicroBatcherClosed:
+                    pass   # disable_microbatch() raced us: direct path
         return self.get_batch([np.asarray(image)], max_num=max_num)[0]
 
     # shape-groups at least this large run the static per-shape program

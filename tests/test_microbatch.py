@@ -110,35 +110,83 @@ def test_exception_propagates_to_every_waiter():
 def test_wrong_result_count_is_an_error_not_a_hang():
     mb = MicroBatcher(lambda xs: [0], max_batch=4, max_wait_ms=20.0)
     try:
-        if True:
-            out = []
+        out = []
 
-            def worker(i):
-                try:
-                    out.append(mb.submit(i))
-                except RuntimeError as e:
-                    out.append(str(e))
+        def worker(i):
+            try:
+                out.append(mb.submit(i))
+            except RuntimeError as e:
+                out.append(str(e))
 
-            ts = [threading.Thread(target=worker, args=(i,))
-                  for i in range(3)]
-            for t in ts:
-                t.start()
-            for t in ts:
-                t.join(timeout=10)
-            assert not any(t.is_alive() for t in ts)
-            # either a lone early batch returned its single 0, or the
-            # grouped batches error — nobody hangs
-            assert all(o == 0 or "results for" in str(o) for o in out)
+        ts = [threading.Thread(target=worker, args=(i,))
+              for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=10)
+        assert not any(t.is_alive() for t in ts)
+        # either a lone early batch returned its single 0, or the
+        # grouped batches error — nobody hangs
+        assert all(o == 0 or "results for" in str(o) for o in out)
     finally:
         mb.close()
 
 
 def test_close_serves_pending_then_rejects():
+    from scrfd_arcface_facerecognition_tpu.runtime.microbatch import (
+        MicroBatcherClosed)
+
     mb = MicroBatcher(lambda xs: list(xs), max_wait_ms=1.0)
     assert mb.submit("a") == "a"
-    mb.close()
-    with pytest.raises(RuntimeError):
+    assert mb.close()
+    with pytest.raises(MicroBatcherClosed):
         mb.submit("b")
+
+
+def test_close_during_slow_batch_drops_nothing():
+    """close() while batch_fn is mid-call: the collector finishes serving
+    everything already queued (close reports the timeout with False),
+    nobody hangs or errors."""
+    release = threading.Event()
+
+    def fn(xs):
+        release.wait(5)                 # the "slow compile" in flight
+        return [x * 2 for x in xs]
+
+    mb = MicroBatcher(fn, max_batch=1, max_wait_ms=0.0)  # one item per call
+    results = {}
+
+    def worker(i):
+        results[i] = mb.submit(i)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    deadline = time.monotonic() + 5
+    while mb._q.qsize() < 2 and time.monotonic() < deadline:
+        time.sleep(0.005)               # all three enqueued (1 in flight)
+    assert mb.close(join_timeout=0.05) is False   # still draining
+    release.set()
+    for t in ts:
+        t.join(timeout=10)
+    assert not any(t.is_alive() for t in ts)
+    assert results == {0: 0, 1: 2, 2: 4}
+    mb._thread.join(timeout=5)
+    assert not mb._thread.is_alive()
+
+
+def test_enable_microbatch_param_mismatch_raises():
+    from scrfd_arcface_facerecognition_tpu.apps.face_analysis import (
+        FaceAnalysis)
+
+    app = FaceAnalysis.__new__(FaceAnalysis)   # no model build needed
+    app._microbatcher = None
+    app.get_batch = lambda imgs, max_num=0: [[] for _ in imgs]
+    mb = app.enable_microbatch(max_batch=8, max_wait_ms=2.0)
+    assert app.enable_microbatch(max_batch=8, max_wait_ms=2.0) is mb
+    with pytest.raises(ValueError, match="different parameters"):
+        app.enable_microbatch(max_batch=4, max_wait_ms=2.0)
+    app.disable_microbatch()
 
 
 # ------------------------------------------------- FaceAnalysis integration

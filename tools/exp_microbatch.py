@@ -62,10 +62,16 @@ def run_mode(app, images, n_threads, microbatch, max_wait_ms):
     # remote compiler costs 30-120 s per new width — steady-state serving
     # is the number that matters); round 2 is the measurement
     one_round()
+    if microbatch:
+        warm_batches, warm_widest = mb.n_batches, mb.max_batch_seen
     fps = one_round()
     stats = {}
     if microbatch:
-        stats = {"batches": mb.n_batches, "widest": mb.max_batch_seen}
+        # report the MEASURED round only — cumulative counters would
+        # describe 2x the requests the JSON line claims
+        stats = {"batches": mb.n_batches - warm_batches,
+                 "widest": mb.max_batch_seen}
+        del warm_widest
         app.disable_microbatch()
     return fps, stats
 
