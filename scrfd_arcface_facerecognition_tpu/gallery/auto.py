@@ -41,6 +41,7 @@ class AutoGallery:
                  tier: str = "auto", pq_threshold: Optional[int] = None,
                  hbm_budget_gb: float = 4.0, pq_m: int = 64,
                  pq_rerank: int = 32, min_train_rows: int = 4096,
+                 pq_train_rows: int = 50_000, pq_train_iters: int = 10,
                  mesh=None, axis: str = "model"):
         if tier not in ("auto", "dense", "pq"):
             raise ValueError(f"unknown tier {tier!r}")
@@ -65,6 +66,14 @@ class AutoGallery:
         # a codec cannot train on a handful of rows; tier="pq" migrates at
         # min_train_rows instead of the capacity threshold
         self.min_train_rows = max(min_train_rows, 2)
+        # codec train budget at migration: the tier-crossing STALL is
+        # train + full re-encode (measured: docs/PERF.md "Dense -> PQ
+        # migration stall"); 50k rows x 10 k-means iters matched the
+        # 100k x 20 budget's shortlist quality at 1/8.6 the train time
+        # (tools/exp_train_budget.py) — and the exact rerank re-orders
+        # with true cosines regardless
+        self.pq_train_rows = pq_train_rows
+        self.pq_train_iters = pq_train_iters
         self._dense: Optional[GalleryStore] = GalleryStore(
             vector_size=vector_size, capacity=capacity)
         self._pq: Optional[PQGallery] = None
@@ -89,8 +98,9 @@ class AutoGallery:
         """Dense -> PQ: train the codec on the resident rows, re-encode
         everything, keep exact rows host-side for reranking."""
         mat, ids = self._dense.dense_matrix()
-        codec = PQCodec.train(mat[:100_000], m=self.pq_m,
-                              k=min(256, max(2, len(mat))))
+        codec = PQCodec.train(mat[:self.pq_train_rows], m=self.pq_m,
+                              k=min(256, max(2, len(mat))),
+                              iters=self.pq_train_iters)
         cap = max(2 * len(ids), self.min_train_rows * 4, 1024)
         pq = PQGallery(codec, capacity=cap, mesh=self.mesh, axis=self.axis,
                        keep_exact=True)
