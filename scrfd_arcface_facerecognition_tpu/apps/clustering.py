@@ -99,7 +99,10 @@ class SmartFaceEngine:
             vector_size=vdb_cfg["vector_size"],
             tier=vdb_cfg.get("tier", "auto"),
             hbm_budget_gb=vdb_cfg.get("hbm_budget_gb", 4.0),
-            min_train_rows=vdb_cfg.get("pq_min_train_rows", 4096))
+            min_train_rows=vdb_cfg.get("pq_min_train_rows", 4096),
+            # zero-stall tier crossing: train+encode in the background,
+            # serve from dense meanwhile (docs/PERF.md migration stall)
+            migrate_async=vdb_cfg.get("migrate_async", False))
         self.image_loader = image_loader
         self.json_storage = JSONStorageManager(results_dir)
         if app is None:

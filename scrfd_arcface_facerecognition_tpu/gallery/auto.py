@@ -42,6 +42,7 @@ class AutoGallery:
                  hbm_budget_gb: float = 4.0, pq_m: int = 64,
                  pq_rerank: int = 32, min_train_rows: int = 4096,
                  pq_train_rows: int = 50_000, pq_train_iters: int = 10,
+                 migrate_async: bool = False,
                  mesh=None, axis: str = "model"):
         if tier not in ("auto", "dense", "pq"):
             raise ValueError(f"unknown tier {tier!r}")
@@ -79,6 +80,18 @@ class AutoGallery:
         self._pq: Optional[PQGallery] = None
         self._payloads: Dict[int, Dict[str, Any]] = {}
         self._row_of: Dict[int, int] = {}        # pq tier: id -> slot
+        # migrate_async=True: the tier crossing trains + encodes in a
+        # BACKGROUND thread (serving continues from the dense tier; the
+        # swap happens at the first call after the build completes, with
+        # interim mutations reconciled) — zero-stall, vs the measured
+        # 105-135 s @ 1M synchronous stall (docs/PERF.md "Dense -> PQ
+        # migration stall"). Opt-in: synchronous migration stays the
+        # default for deterministic tier state.
+        self.migrate_async = migrate_async
+        self._bg_thread = None
+        self._bg_result = None
+        self._bg_mutations: Optional[set] = None
+        self._bg_gen = 0
 
     # ---------------------------------------------------------- tier state
 
@@ -110,6 +123,85 @@ class AutoGallery:
                           for pid in ids}
         self._pq = pq
         self._dense = None
+
+    # ------------------------------------------------- async migration
+
+    def _start_async_migration(self) -> None:
+        """Kick off the codec train + full re-encode on a background
+        thread over a SNAPSHOT of the resident rows; serving continues
+        from the dense tier. No shared state is touched from the worker —
+        it builds a private PQGallery and parks it in _bg_result; the
+        swap (plus reconciliation of rows mutated meanwhile) happens on a
+        caller thread in _maybe_finalize()."""
+        import threading
+
+        mat, ids = self._dense.dense_matrix()
+        self._bg_mutations = set()
+        gen = self._bg_gen
+
+        def work():
+            codec = PQCodec.train(mat[:self.pq_train_rows], m=self.pq_m,
+                                  k=min(256, max(2, len(mat))),
+                                  iters=self.pq_train_iters)
+            cap = max(2 * len(ids), self.min_train_rows * 4, 1024)
+            pq = PQGallery(codec, capacity=cap, mesh=self.mesh,
+                           axis=self.axis, keep_exact=True)
+            rows = pq.add(np.asarray(ids, np.int64), mat)
+            self._bg_result = (gen, pq, ids, rows)
+
+        self._bg_thread = threading.Thread(target=work, daemon=True,
+                                           name="pq-migration")
+        self._bg_thread.start()
+
+    def _maybe_finalize(self) -> None:
+        """Swap to the background-built PQ tier once the build is done.
+        Rows added/updated/deleted since the snapshot are re-applied from
+        the dense store's current state before the swap."""
+        t = self._bg_thread
+        if t is None or t.is_alive():
+            return
+        self._bg_thread = None
+        result, self._bg_result = self._bg_result, None
+        mutations, self._bg_mutations = self._bg_mutations, None
+        if (result is None or result[0] != self._bg_gen
+                or self._dense is None):
+            return   # abandoned (clear_all) or stale generation
+        _, pq, ids, rows = result
+        row_of = {int(p): int(r) for p, r in zip(ids, rows)}
+        payloads = {pid: self._dense.get_payload(pid) or {}
+                    for pid in row_of}
+        for pid in sorted(mutations or ()):
+            if pid in row_of:
+                pq.delete(pid)
+                del row_of[pid]
+                payloads.pop(pid, None)
+            vec = self._dense.get_embedding(pid)
+            if vec is not None:       # still present: re-add current value
+                r = pq.add(np.asarray([pid], np.int64),
+                           np.asarray(vec, np.float32)[None])
+                row_of[pid] = int(r[0])
+                payloads[pid] = self._dense.get_payload(pid) or {}
+        self._pq = pq
+        self._row_of = row_of
+        self._payloads = payloads
+        self._dense = None
+
+    def _abandon_bg(self) -> None:
+        """Invalidate any in-flight background build (clear_all)."""
+        self._bg_gen += 1
+        self._bg_thread = None
+        self._bg_result = None
+        self._bg_mutations = None
+
+    def _note_mutation(self, pids) -> None:
+        if self._bg_mutations is not None:
+            self._bg_mutations.update(int(p) for p in pids)
+
+    def _kick_migration(self) -> None:
+        if not self.migrate_async:
+            self._migrate()
+        elif self._bg_thread is None:
+            self._start_async_migration()
 
     def _grow_pq(self, need: int) -> None:
         old = self._pq
@@ -143,10 +235,13 @@ class AutoGallery:
         vec = np.asarray(embedding, np.float32).reshape(-1)
         if vec.shape[0] != self.vector_size:
             return False
+        self._maybe_finalize()
         if self._pq is None:
             ok = self._dense.add_embedding(person_id, vec, payload)
-            if ok and self._migration_due():
-                self._migrate()
+            if ok:
+                self._note_mutation([person_id])
+                if self._migration_due():
+                    self._kick_migration()
             return ok
         return self.add_batch([person_id], vec[None],
                               [payload or {}]) == 1
@@ -158,10 +253,14 @@ class AutoGallery:
             # existing rows first, and a late PQGallery.add failure would
             # have already discarded them
             raise ValueError("person ids must be >= 0")
+        self._maybe_finalize()
         if self._pq is None:
             n = self._dense.add_batch(ids, embeddings, payloads)
-            if n and self._migration_due():
-                self._migrate()
+            if n:
+                self._note_mutation(np.atleast_1d(
+                    np.asarray(ids, np.int64)).tolist())
+                if self._migration_due():
+                    self._kick_migration()
             return n
         ids = np.atleast_1d(np.asarray(ids, np.int64))
         mat = np.atleast_2d(np.asarray(embeddings, np.float32))
@@ -190,9 +289,13 @@ class AutoGallery:
 
     def update_embedding(self, person_id: int, embedding,
                          payload: Optional[Dict[str, Any]] = None) -> bool:
+        self._maybe_finalize()
         if self._pq is None:
-            return self._dense.update_embedding(person_id, embedding,
-                                                payload)
+            ok = self._dense.update_embedding(person_id, embedding,
+                                              payload)
+            if ok:
+                self._note_mutation([person_id])
+            return ok
         if person_id not in self._row_of:
             return False
         keep = (payload if payload is not None
@@ -203,8 +306,12 @@ class AutoGallery:
                               [keep or {}]) == 1
 
     def delete_embedding(self, person_id: int) -> bool:
+        self._maybe_finalize()
         if self._pq is None:
-            return self._dense.delete_embedding(person_id)
+            ok = self._dense.delete_embedding(person_id)
+            if ok:
+                self._note_mutation([person_id])
+            return ok
         if person_id not in self._row_of:
             return False
         self._pq.delete(person_id)
@@ -213,6 +320,9 @@ class AutoGallery:
         return True
 
     def clear_all(self) -> bool:
+        # an in-flight background build reflects the old population:
+        # abandon it (generation bump makes a late _bg_result stale)
+        self._abandon_bg()
         if self._pq is None:
             return self._dense.clear_all()
         # an emptied gallery restarts at the dense tier (re-migrates when
@@ -234,6 +344,7 @@ class AutoGallery:
     def search_batch(self, queries, k: int = 5,
                      threshold: Optional[float] = None
                      ) -> List[List[SearchHit]]:
+        self._maybe_finalize()
         if self._pq is None:
             return self._dense.search_batch(queries, k=k,
                                             threshold=threshold)
@@ -259,6 +370,7 @@ class AutoGallery:
         return out
 
     def get_embedding(self, person_id: int) -> Optional[np.ndarray]:
+        self._maybe_finalize()
         if self._pq is None:
             return self._dense.get_embedding(person_id)
         row = self._row_of.get(person_id)
@@ -267,22 +379,26 @@ class AutoGallery:
         return self._pq._exact[row].copy()
 
     def get_payload(self, person_id: int) -> Optional[Dict[str, Any]]:
+        self._maybe_finalize()
         if self._pq is None:
             return self._dense.get_payload(person_id)
         return self._payloads.get(person_id)
 
     def get_embedding_count(self) -> int:
+        self._maybe_finalize()
         if self._pq is None:
             return self._dense.get_embedding_count()
         return len(self._row_of)
 
     def ids(self) -> List[int]:
+        self._maybe_finalize()
         if self._pq is None:
             return self._dense.ids()
         return list(self._row_of.keys())
 
     def dense_matrix(self):
         """(G, D) exact rows + aligned ids (host memory on both tiers)."""
+        self._maybe_finalize()
         if self._pq is None:
             return self._dense.dense_matrix()
         ids = sorted(self._row_of)
@@ -304,6 +420,7 @@ class AutoGallery:
     # ------------------------------------------------------- persistence
 
     def snapshot(self, path: str) -> None:
+        self._maybe_finalize()
         if self._pq is None:
             self._dense.snapshot(path)
             return

