@@ -34,6 +34,19 @@ from .store import GalleryStore, SearchHit
 from .pq import PQCodec, PQGallery
 
 
+def _locked(fn):
+    """Serialize a public method on the instance's _api_lock (RLock:
+    public methods call each other). The async migration swap makes
+    lock-free cross-thread access to _dense/_pq unsafe."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._api_lock:
+            return fn(self, *args, **kwargs)
+    return wrapper
+
+
 class AutoGallery:
     """GalleryStore-API facade with a size-driven dense->PQ tier policy."""
 
@@ -92,6 +105,15 @@ class AutoGallery:
         self._bg_result = None
         self._bg_mutations: Optional[set] = None
         self._bg_gen = 0
+        self._bg_failed = False
+        # serializes every public method: the async swap means a reader
+        # can otherwise observe _dense mid-teardown from another thread
+        # (the webapp's GET routes are lock-free by design). Host-dict
+        # work under the lock is negligible; device calls serialize on
+        # the device anyway. RLock: public methods call each other.
+        import threading as _threading
+
+        self._api_lock = _threading.RLock()
 
     # ---------------------------------------------------------- tier state
 
@@ -130,24 +152,40 @@ class AutoGallery:
         """Kick off the codec train + full re-encode on a background
         thread over a SNAPSHOT of the resident rows; serving continues
         from the dense tier. No shared state is touched from the worker —
-        it builds a private PQGallery and parks it in _bg_result; the
-        swap (plus reconciliation of rows mutated meanwhile) happens on a
-        caller thread in _maybe_finalize()."""
+        it builds a private PQGallery and parks it in _bg_result (only if
+        its generation is still current); the swap (plus reconciliation
+        of rows mutated meanwhile) happens on a caller thread in
+        _maybe_finalize() under the API lock."""
+        import logging
         import threading
 
         mat, ids = self._dense.dense_matrix()
         self._bg_mutations = set()
+        self._bg_result = None
         gen = self._bg_gen
 
         def work():
-            codec = PQCodec.train(mat[:self.pq_train_rows], m=self.pq_m,
-                                  k=min(256, max(2, len(mat))),
-                                  iters=self.pq_train_iters)
-            cap = max(2 * len(ids), self.min_train_rows * 4, 1024)
-            pq = PQGallery(codec, capacity=cap, mesh=self.mesh,
-                           axis=self.axis, keep_exact=True)
-            rows = pq.add(np.asarray(ids, np.int64), mat)
-            self._bg_result = (gen, pq, ids, rows)
+            try:
+                codec = PQCodec.train(mat[:self.pq_train_rows],
+                                      m=self.pq_m,
+                                      k=min(256, max(2, len(mat))),
+                                      iters=self.pq_train_iters)
+                cap = max(2 * len(ids), self.min_train_rows * 4, 1024)
+                pq = PQGallery(codec, capacity=cap, mesh=self.mesh,
+                               axis=self.axis, keep_exact=True)
+                rows = pq.add(np.asarray(ids, np.int64), mat)
+            except BaseException:
+                # a silent death would make _migration_due re-kick a
+                # doomed ~100 s build forever: log loudly and flag the
+                # failure — the next trigger falls back to SYNCHRONOUS
+                # migration, whose exception reaches the caller
+                logging.getLogger(__name__).exception(
+                    "background PQ migration failed; next trigger will "
+                    "migrate synchronously (error surfaces to the caller)")
+                self._bg_failed = True
+                return
+            if gen == self._bg_gen:   # abandoned builds must not clobber
+                self._bg_result = (gen, pq, ids, rows)
 
         self._bg_thread = threading.Thread(target=work, daemon=True,
                                            name="pq-migration")
@@ -156,7 +194,10 @@ class AutoGallery:
     def _maybe_finalize(self) -> None:
         """Swap to the background-built PQ tier once the build is done.
         Rows added/updated/deleted since the snapshot are re-applied from
-        the dense store's current state before the swap."""
+        the dense store's current state before the swap — as ONE batched
+        delete pass + ONE stacked add (per-row device calls would stall
+        O(mutations) dispatches, recreating the stall this avoids).
+        Caller holds _api_lock."""
         t = self._bg_thread
         if t is None or t.is_alive():
             return
@@ -165,11 +206,12 @@ class AutoGallery:
         mutations, self._bg_mutations = self._bg_mutations, None
         if (result is None or result[0] != self._bg_gen
                 or self._dense is None):
-            return   # abandoned (clear_all) or stale generation
+            return   # abandoned (clear_all), stale generation, or failed
         _, pq, ids, rows = result
         row_of = {int(p): int(r) for p, r in zip(ids, rows)}
         payloads = {pid: self._dense.get_payload(pid) or {}
                     for pid in row_of}
+        readd_pids, readd_vecs = [], []
         for pid in sorted(mutations or ()):
             if pid in row_of:
                 pq.delete(pid)
@@ -177,14 +219,46 @@ class AutoGallery:
                 payloads.pop(pid, None)
             vec = self._dense.get_embedding(pid)
             if vec is not None:       # still present: re-add current value
-                r = pq.add(np.asarray([pid], np.int64),
-                           np.asarray(vec, np.float32)[None])
-                row_of[pid] = int(r[0])
+                readd_pids.append(pid)
+                readd_vecs.append(np.asarray(vec, np.float32))
+        if readd_pids:
+            if len(readd_pids) > len(pq._free):
+                # interim ingest outgrew the pre-sized build: rebuild at
+                # the needed capacity from the build's exact rows (codec
+                # is reused — no retrain/re-encode of the snapshot rows)
+                pq, row_of = self._rebuild_pq(
+                    pq, row_of, len(readd_pids))
+            r = pq.add(np.asarray(readd_pids, np.int64),
+                       np.stack(readd_vecs))
+            for pid, row in zip(readd_pids, r):
+                row_of[pid] = int(row)
                 payloads[pid] = self._dense.get_payload(pid) or {}
-        self._pq = pq
+        # publication order matters for lock-free readers: the PQ-side
+        # state must be complete before _pq is set, and _dense dies last
         self._row_of = row_of
         self._payloads = payloads
+        self._pq = pq
         self._dense = None
+
+    @staticmethod
+    def _pq_capacity_for(pq, row_of, need: int) -> int:
+        cap = pq.capacity
+        while cap - len(row_of) < need:
+            cap *= 2
+        return cap
+
+    def _rebuild_pq(self, pq, row_of, need: int):
+        """Copy a PQGallery into one with capacity for `need` more rows
+        (codec reused; rows re-added from the exact mirror)."""
+        cap = self._pq_capacity_for(pq, row_of, need)
+        new = PQGallery(pq.codec, capacity=cap, mesh=self.mesh,
+                        axis=self.axis, keep_exact=True)
+        ids = sorted(row_of)
+        if ids:
+            rows_src = [row_of[p] for p in ids]
+            rows = new.add(np.asarray(ids, np.int64), pq._exact[rows_src])
+            row_of = {int(p): int(r) for p, r in zip(ids, rows)}
+        return new, row_of
 
     def _abandon_bg(self) -> None:
         """Invalidate any in-flight background build (clear_all)."""
@@ -198,25 +272,16 @@ class AutoGallery:
             self._bg_mutations.update(int(p) for p in pids)
 
     def _kick_migration(self) -> None:
-        if not self.migrate_async:
+        if not self.migrate_async or self._bg_failed:
+            # after a failed background build, fail in the caller's face
+            # rather than silently retry ~100 s builds forever
             self._migrate()
         elif self._bg_thread is None:
             self._start_async_migration()
 
     def _grow_pq(self, need: int) -> None:
-        old = self._pq
-        cap = old.capacity
-        while cap - (old.capacity - len(old._free)) < need:
-            cap *= 2
-        new = PQGallery(old.codec, capacity=cap, mesh=self.mesh,
-                        axis=self.axis, keep_exact=True)
-        ids = sorted(self._row_of)
-        if ids:
-            rows_src = [self._row_of[p] for p in ids]
-            rows = new.add(np.asarray(ids, np.int64),
-                           old._exact[rows_src])
-            self._row_of = {int(p): int(r) for p, r in zip(ids, rows)}
-        self._pq = new
+        self._pq, self._row_of = self._rebuild_pq(self._pq, self._row_of,
+                                                  need)
 
     # ------------------------------------------------------------- mutate
 
@@ -225,6 +290,7 @@ class AutoGallery:
         return mat / np.maximum(
             np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
+    @_locked
     def add_embedding(self, person_id: int, embedding,
                       payload: Optional[Dict[str, Any]] = None) -> bool:
         if person_id < 0:
@@ -246,6 +312,7 @@ class AutoGallery:
         return self.add_batch([person_id], vec[None],
                               [payload or {}]) == 1
 
+    @_locked
     def add_batch(self, ids, embeddings,
                   payloads: Optional[List[Dict[str, Any]]] = None) -> int:
         if np.any(np.atleast_1d(np.asarray(ids, np.int64)) < 0):
@@ -287,6 +354,7 @@ class AutoGallery:
             self._payloads[pid] = dict(payloads[i]) if payloads else {}
         return len(order)
 
+    @_locked
     def update_embedding(self, person_id: int, embedding,
                          payload: Optional[Dict[str, Any]] = None) -> bool:
         self._maybe_finalize()
@@ -305,6 +373,7 @@ class AutoGallery:
                                          np.float32).reshape(1, -1),
                               [keep or {}]) == 1
 
+    @_locked
     def delete_embedding(self, person_id: int) -> bool:
         self._maybe_finalize()
         if self._pq is None:
@@ -319,6 +388,7 @@ class AutoGallery:
         self._payloads.pop(person_id, None)
         return True
 
+    @_locked
     def clear_all(self) -> bool:
         # an in-flight background build reflects the old population:
         # abandon it (generation bump makes a late _bg_result stale)
@@ -335,12 +405,14 @@ class AutoGallery:
 
     # -------------------------------------------------------------- query
 
+    @_locked
     def search_similar(self, query, k: int = 5,
                        threshold: Optional[float] = None) -> List[SearchHit]:
         return self.search_batch(
             np.asarray(query, np.float32).reshape(1, -1), k=k,
             threshold=threshold)[0]
 
+    @_locked
     def search_batch(self, queries, k: int = 5,
                      threshold: Optional[float] = None
                      ) -> List[List[SearchHit]]:
@@ -369,6 +441,7 @@ class AutoGallery:
             out.append(hits)
         return out
 
+    @_locked
     def get_embedding(self, person_id: int) -> Optional[np.ndarray]:
         self._maybe_finalize()
         if self._pq is None:
@@ -378,24 +451,28 @@ class AutoGallery:
             return None
         return self._pq._exact[row].copy()
 
+    @_locked
     def get_payload(self, person_id: int) -> Optional[Dict[str, Any]]:
         self._maybe_finalize()
         if self._pq is None:
             return self._dense.get_payload(person_id)
         return self._payloads.get(person_id)
 
+    @_locked
     def get_embedding_count(self) -> int:
         self._maybe_finalize()
         if self._pq is None:
             return self._dense.get_embedding_count()
         return len(self._row_of)
 
+    @_locked
     def ids(self) -> List[int]:
         self._maybe_finalize()
         if self._pq is None:
             return self._dense.ids()
         return list(self._row_of.keys())
 
+    @_locked
     def dense_matrix(self):
         """(G, D) exact rows + aligned ids (host memory on both tiers)."""
         self._maybe_finalize()
@@ -407,6 +484,7 @@ class AutoGallery:
         rows = [self._row_of[p] for p in ids]
         return self._pq._exact[rows].copy(), ids
 
+    @_locked
     def duplicate_groups(self, threshold: float) -> List[List[int]]:
         """Merge worklist (groups of ids to fold into their lowest id),
         tier-blind: exact rows, blocked pair scan past 8k rows. One
@@ -419,6 +497,7 @@ class AutoGallery:
 
     # ------------------------------------------------------- persistence
 
+    @_locked
     def snapshot(self, path: str) -> None:
         self._maybe_finalize()
         if self._pq is None:
@@ -484,7 +563,9 @@ class AutoGallery:
         else:
             g._dense = GalleryStore.restore(path)
             if g._migration_due():
-                g._migrate()
+                # honors migrate_async: a zero-stall restore serves from
+                # the dense tier while the build runs
+                g._kick_migration()
             return g
         payloads = {}
         if os.path.exists(path + ".meta.json"):

@@ -269,7 +269,9 @@ def test_async_migration_zero_stall_swap_and_parity():
     # the crossing add returns immediately on the dense tier; the build
     # runs in the background
     assert g.tier == "dense" and g._bg_thread is not None
-    assert g.get_embedding_count() == len(ids) or True  # serves meanwhile
+    # the dense tier keeps serving (count AND search) during the build
+    assert g.get_embedding_count() == len(ids)
+    assert g.search_similar(rows[2], k=1)[0].id == ids[2]
 
     # mutations DURING the background build must survive the swap
     extra = rng.normal(size=(2, 512)).astype(np.float32)
@@ -312,3 +314,46 @@ def test_async_migration_abandoned_by_clear():
     g.add_batch(np.arange(4), rows[:4])
     assert g.get_embedding_count() == 4
     assert g.tier == "dense" or g._bg_thread is not None
+
+
+def test_async_migration_concurrent_readers_survive_swap():
+    """Lock-free webapp GET routes read the gallery from other threads
+    while a clustering job mutates it: the tier swap must never expose a
+    half-torn state (the pre-lock bug: reader finalizes, mutator's
+    self._dense goes None mid-operation)."""
+    import threading
+
+    rng = np.random.default_rng(23)
+    rows = _rows(rng, 64)
+    g = AutoGallery(tier="pq", min_train_rows=32, migrate_async=True)
+    g.add_batch(np.arange(32), rows[:32])
+    assert g._bg_thread is not None
+    errs = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                n = g.get_embedding_count()
+                assert n >= 32
+                hits = g.search_similar(rows[0], k=1)
+                assert hits and hits[0].id == 0
+        except BaseException as e:   # noqa: BLE001
+            errs.append(repr(e))
+
+    readers = [threading.Thread(target=reader) for _ in range(4)]
+    for t in readers:
+        t.start()
+    # mutate from this thread while the build runs and readers hammer
+    for i in range(32, 64):
+        g.add_embedding(i, rows[i], {"i": i})
+    _wait_bg(g)
+    g.get_embedding_count()          # ensure the swap happened
+    stop.set()
+    for t in readers:
+        t.join(timeout=10)
+    assert not errs, errs
+    assert g.tier == "pq"
+    assert g.get_embedding_count() == 64
+    assert g.get_payload(50) == {"i": 50}
+    assert g.search_similar(rows[50], k=1)[0].id == 50
