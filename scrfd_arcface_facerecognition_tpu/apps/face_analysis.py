@@ -92,8 +92,11 @@ class FaceAnalysis:
 
         if self._microbatcher is not None:
             mb = self._microbatcher
-            if (mb.max_batch, mb.max_wait_s * 1000) != (max_batch,
-                                                        max_wait_ms):
+            # compare the constructor-original max_wait_ms (stored on the
+            # batcher), not max_wait_s*1000 — float round-trips and the
+            # ctor's negative-ms clamp made same-args re-enables raise
+            if (mb.max_batch, mb.max_wait_ms) != (max_batch,
+                                                  float(max_wait_ms)):
                 # silently returning the old batcher would make the new
                 # settings never take effect
                 raise ValueError(

@@ -160,6 +160,14 @@ class AutoGallery:
         import threading
 
         mat, ids = self._dense.dense_matrix()
+        # shallow dict copy (single C-level op) of the payload map: store
+        # mutations REPLACE payload dicts, never mutate them in place
+        # (store.py add/update assign fresh dicts), so sharing values is
+        # safe. The per-id map build happens in the WORKER — O(G) host
+        # work at 1M-row scale must not run under the API lock at swap
+        # time (that stalled the first post-build call for seconds,
+        # defeating the zero-stall point of async migration).
+        payload_snap = dict(self._dense._payloads)
         self._bg_mutations = set()
         self._bg_result = None
         gen = self._bg_gen
@@ -174,6 +182,11 @@ class AutoGallery:
                 pq = PQGallery(codec, capacity=cap, mesh=self.mesh,
                                axis=self.axis, keep_exact=True)
                 rows = pq.add(np.asarray(ids, np.int64), mat)
+                # precompute the swap-time maps off-thread; the caller
+                # only applies the (small) mutation delta under the lock
+                row_of = {int(p): int(r) for p, r in zip(ids, rows)}
+                payloads = {int(p): payload_snap.get(int(p)) or {}
+                            for p in ids}
             except BaseException:
                 # a silent death would make _migration_due re-kick a
                 # doomed ~100 s build forever: log loudly and flag the
@@ -185,7 +198,7 @@ class AutoGallery:
                 self._bg_failed = True
                 return
             if gen == self._bg_gen:   # abandoned builds must not clobber
-                self._bg_result = (gen, pq, ids, rows)
+                self._bg_result = (gen, pq, row_of, payloads)
 
         self._bg_thread = threading.Thread(target=work, daemon=True,
                                            name="pq-migration")
@@ -207,10 +220,10 @@ class AutoGallery:
         if (result is None or result[0] != self._bg_gen
                 or self._dense is None):
             return   # abandoned (clear_all), stale generation, or failed
-        _, pq, ids, rows = result
-        row_of = {int(p): int(r) for p, r in zip(ids, rows)}
-        payloads = {pid: self._dense.get_payload(pid) or {}
-                    for pid in row_of}
+        # row_of/payloads were prebuilt by the worker (off-lock); only
+        # the mutation DELTA is applied here, so the swap cost scales
+        # with interim traffic, not with gallery size
+        _, pq, row_of, payloads = result
         readd_pids, readd_vecs = [], []
         for pid in sorted(mutations or ()):
             if pid in row_of:
@@ -556,6 +569,15 @@ class AutoGallery:
         """Rebuild from either tier's snapshot (sniffed by content)."""
         g = cls(**kwargs)
         if g._snapshot_tier(path) == "pq":
+            if g.tier_policy == "dense":
+                # the forced-dense policy guarantees the PQ tier is
+                # unreachable everywhere else (construction even permits
+                # PQ-illegal vector sizes on it) — silently installing a
+                # PQ tier here would contradict that guarantee
+                raise ValueError(
+                    f"{path} is a PQ-tier snapshot but tier='dense' was "
+                    f"requested; restore with tier='auto'/'pq', or "
+                    f"restore the snapshot that matches the policy")
             # honor the facade's runtime sharding choices: a snapshot
             # restored without them would leave a 10M-row code matrix
             # unsharded on one device

@@ -243,23 +243,37 @@ class DecodePool:
         live = set(range(self.n_streams))
         while live:
             got: Dict[int, Tuple[int, int, int, float]] = {}
-            for sid in sorted(live):
-                # each stream gets its own FULL timeout (MultiStreamReader
-                # semantics): a shared round deadline let one stalled
-                # camera exhaust the budget and cascade healthy streams
-                # out with near-zero remaining time
-                try:
-                    msg = self._filled_qs[sid].get(
-                        timeout=self.timeout_ms / 1000)
-                except _queue.Empty:
-                    live.discard(sid)      # stalled camera drops out
-                    continue
-                if msg is None:
-                    live.discard(sid)      # stream ended (eos)
-                    continue
-                got[sid] = msg
+            # wait on every live stream CONCURRENTLY: each gets the full
+            # timeout measured from round start, but the deadlines run in
+            # parallel, so a round is bounded by ONE timeout_ms even with
+            # several stalled cameras (sequential full-timeout waits made
+            # a round cost n_stalled * timeout before healthy frames
+            # were delivered). Polling slice is well under a frame
+            # interval, so healthy-stream latency is unaffected.
+            pending = set(live)
+            deadline = time.monotonic() + self.timeout_ms / 1000
+            while pending:
+                progressed = False
+                for sid in sorted(pending):
+                    try:
+                        msg = self._filled_qs[sid].get_nowait()
+                    except _queue.Empty:
+                        continue
+                    progressed = True
+                    pending.discard(sid)
+                    if msg is None:
+                        live.discard(sid)  # stream ended (eos)
+                    else:
+                        got[sid] = msg
+                if not pending:
+                    break
+                if time.monotonic() >= deadline:
+                    live -= pending        # stalled cameras drop out
+                    break
+                if not progressed:
+                    time.sleep(0.005)
             if not got:
-                return
+                return   # every remaining stream ended or stalled
             ready = sorted(got)
             for s in ready:
                 self.stream_dims.setdefault(s, (got[s][1], got[s][2]))
@@ -273,6 +287,11 @@ class DecodePool:
                                  slot * self.slot_bytes + fh * fw * 3]
                 batch[bi, :fh, :fw] = view.reshape(fh, fw, 3)
                 self._free_qs[sid].put(slot)
+            # a suspended generator frame must not pin a shared-memory
+            # view across the yield: it keeps the mmap "exported" past
+            # release(), and SharedMemory.__del__ then raises BufferError
+            # at GC time (an unraisable warning in every consumer suite)
+            del view  # noqa: F821 — ready is never empty here
             self.frames_out += len(ready)
             yield batch, ready
 

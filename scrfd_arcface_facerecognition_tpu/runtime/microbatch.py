@@ -60,6 +60,10 @@ class MicroBatcher:
             raise ValueError("max_batch must be >= 1")
         self.batch_fn = batch_fn
         self.max_batch = int(max_batch)
+        # original constructor value, kept for exact same-args re-enable
+        # checks (FaceAnalysis.enable_microbatch) — the clamped/scaled
+        # max_wait_s does not round-trip through ms float math
+        self.max_wait_ms = float(max_wait_ms)
         self.max_wait_s = max(0.0, float(max_wait_ms)) / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
@@ -75,13 +79,19 @@ class MicroBatcher:
     # ---------------------------------------------------------------- API
 
     def submit(self, item: Any, key: Hashable = None,
-               key_kwargs: Optional[Dict[str, Any]] = None) -> Any:
+               key_kwargs: Optional[Dict[str, Any]] = None,
+               timeout: Optional[float] = None) -> Any:
         """Block until the batched call containing `item` completes and
         return this item's result (or raise the batch's exception).
 
         key: items batch together only when their keys are equal.
         key_kwargs: kwargs passed to batch_fn for this key's group (must
         be deterministic per key — the first seen wins for the group).
+        timeout: seconds to wait for the result; raises
+        concurrent.futures.TimeoutError past it. A waiter must never hang
+        forever on a batch_fn that blocks or a daemon collector torn down
+        at interpreter shutdown — pass a timeout wherever the caller has
+        a latency bound (the webapp serving path does).
         """
         fut: Future = Future()
         # the lock orders this enqueue against close()'s sentinel: either
@@ -91,17 +101,36 @@ class MicroBatcher:
             if self._closed:
                 raise MicroBatcherClosed("MicroBatcher is closed")
             self._q.put((item, key, dict(key_kwargs or {}), fut))
-        return fut.result()
+        return fut.result(timeout=timeout)
 
-    def close(self, join_timeout: float = 5.0) -> bool:
-        """Stop accepting work; everything already queued still gets
-        served, then the collector exits. Returns False when the
-        collector is still draining a slow in-flight batch past
-        `join_timeout` (it finishes and exits on its own — nothing is
-        dropped or errored)."""
+    def close(self, join_timeout: float = 5.0, abort: bool = False) -> bool:
+        """Stop accepting work. Default: everything already queued still
+        gets served, then the collector exits. abort=True: queued entries
+        that have not started a batch are FAILED with MicroBatcherClosed
+        instead of served, so no waiter can stay blocked behind a stuck
+        batch_fn at shutdown. Returns False when the collector is still
+        draining a slow in-flight batch past `join_timeout` (it finishes
+        and exits on its own — nothing is dropped or errored)."""
         with self._lock:
             if not self._closed:
                 self._closed = True
+                self._q.put(_SENTINEL)
+            if abort:
+                # fail everything still queued (the collector skips
+                # cancelled/finished futures); entries already inside a
+                # running batch_fn get their real result/exception
+                drained = []
+                while True:
+                    try:
+                        e = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    drained.append(e)
+                for e in drained:
+                    if e is _SENTINEL:
+                        continue
+                    e[3].set_exception(
+                        MicroBatcherClosed("MicroBatcher aborted"))
                 self._q.put(_SENTINEL)
         self._thread.join(timeout=join_timeout)
         return not self._thread.is_alive()

@@ -189,3 +189,40 @@ def test_decode_pool_release_mid_stream(video):
     next(it)
     pool.release()
     assert all(not p.is_alive() for p in pool._procs)
+
+
+def test_iter_round_bounded_with_multiple_stalled_streams():
+    """ADVICE r4: several stalled cameras must share ONE concurrent
+    timeout window per round, not serialize full timeouts — a healthy
+    stream's frame is delivered within ~timeout_ms even when three
+    siblings are stalled."""
+    import queue
+    import time as _time
+
+    from scrfd_arcface_facerecognition_tpu.runtime.decode_pool import (
+        DecodePool)
+
+    pool = DecodePool.__new__(DecodePool)   # no processes: queue-level test
+    pool.n_streams = 4
+    pool.timeout_ms = 400
+    pool.slot_bytes = 16 * 16 * 3
+    pool._buf = np.zeros(4 * pool.slot_bytes, np.uint8)
+    pool._free_qs = {i: queue.Queue() for i in range(4)}
+    pool._filled_qs = {i: queue.Queue() for i in range(4)}
+    pool.frames_out = 0
+    pool.stream_dims = {}
+    pool.stream_fps = {}
+    pool._t0 = _time.monotonic()
+    pool._closed = True                      # __del__ release() no-ops
+
+    pool._filled_qs[0].put((0, 16, 16, 24.0))   # stream 0 healthy
+    it = iter(pool)
+    t0 = _time.monotonic()
+    batch, ids = next(it)
+    dt = _time.monotonic() - t0
+    assert ids == [0]
+    assert batch.shape == (1, 16, 16, 3)
+    # sequential per-stream waits would take >= 3 * 400 ms here
+    assert dt < 0.8, f"round took {dt:.2f}s — stalled streams serialized"
+    # slot recycled to the healthy stream's own free queue
+    assert pool._free_qs[0].get_nowait() == 0

@@ -357,3 +357,19 @@ def test_async_migration_concurrent_readers_survive_swap():
     assert g.get_embedding_count() == 64
     assert g.get_payload(50) == {"i": 50}
     assert g.search_similar(rows[50], k=1)[0].id == 50
+
+
+def test_restore_pq_snapshot_into_dense_policy_raises(tmp_path):
+    """ADVICE r4: restoring a PQ snapshot into a tier='dense' facade must
+    refuse loudly — the forced-dense policy promises the PQ tier is
+    unreachable, and a silent install would contradict it."""
+    rng = np.random.default_rng(11)
+    g = AutoGallery(tier="pq", min_train_rows=4)
+    g.add_batch(np.arange(8), _rows(rng, 8))
+    assert g.tier == "pq"
+    path = str(tmp_path / "snap.bin")
+    g.snapshot(path)
+    with pytest.raises(ValueError, match="tier='dense'"):
+        AutoGallery.restore(path, tier="dense")
+    r = AutoGallery.restore(path, tier="auto")   # policy-compatible: fine
+    assert r.tier == "pq" and r.get_embedding_count() == 8

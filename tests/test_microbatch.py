@@ -232,3 +232,79 @@ def test_face_analysis_microbatch_matches_sequential():
             np.testing.assert_allclose(
                 a.normed_embedding, b.normed_embedding, atol=1e-3)
             assert float(a.normed_embedding @ b.normed_embedding) > 0.999
+
+
+def test_submit_timeout_releases_waiter():
+    """A waiter with a timeout must never hang on a stuck batch_fn
+    (ADVICE r4): submit(timeout=) raises TimeoutError promptly while the
+    collector is blocked inside the batch."""
+    from concurrent.futures import TimeoutError as FutTimeout
+
+    release = threading.Event()
+
+    def fn(xs):
+        release.wait(5)
+        return list(xs)
+
+    mb = MicroBatcher(fn, max_wait_ms=0.0)
+    t0 = time.monotonic()
+    with pytest.raises(FutTimeout):
+        mb.submit(1, timeout=0.1)
+    assert time.monotonic() - t0 < 2.0
+    release.set()
+    mb.close()
+
+
+def test_close_abort_fails_queued_waiters():
+    """close(abort=True) releases every QUEUED waiter with
+    MicroBatcherClosed instead of leaving them blocked behind a stuck
+    in-flight batch; the in-flight item still gets its real result."""
+    from scrfd_arcface_facerecognition_tpu.runtime.microbatch import (
+        MicroBatcherClosed)
+
+    release = threading.Event()
+
+    def fn(xs):
+        release.wait(5)
+        return [x * 2 for x in xs]
+
+    mb = MicroBatcher(fn, max_batch=1, max_wait_ms=0.0)
+    results, errors = {}, {}
+
+    def worker(i):
+        try:
+            results[i] = mb.submit(i)
+        except BaseException as ex:   # noqa: BLE001
+            errors[i] = ex
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    deadline = time.monotonic() + 5
+    while mb._q.qsize() < 2 and time.monotonic() < deadline:
+        time.sleep(0.005)             # 1 in flight, 2 queued
+    mb.close(join_timeout=0.05, abort=True)
+    release.set()
+    for t in ts:
+        t.join(timeout=10)
+    assert not any(t.is_alive() for t in ts)
+    assert len(results) == 1 and len(errors) == 2
+    (i, r), = results.items()
+    assert r == i * 2                  # in-flight item served for real
+    assert all(isinstance(e, MicroBatcherClosed) for e in errors.values())
+
+
+def test_enable_microbatch_same_args_reenable_is_idempotent():
+    """Same-argument re-enable must return the existing batcher, even for
+    ms values that don't survive the /1000*1000 float round-trip or that
+    the ctor clamps (negative) — ADVICE r4."""
+    from scrfd_arcface_facerecognition_tpu.apps.face_analysis import (
+        FaceAnalysis)
+
+    app = FaceAnalysis.__new__(FaceAnalysis)   # no model build needed
+    app._microbatcher = None
+    app.get_batch = lambda imgs, max_num=0: [[] for _ in imgs]
+    for ms in (0.3, 4, -1.0):
+        mb = app.enable_microbatch(max_batch=8, max_wait_ms=ms)
+        assert app.enable_microbatch(max_batch=8, max_wait_ms=ms) is mb
+        app.disable_microbatch()
