@@ -370,4 +370,9 @@ def run_web_server(engine: Optional[SmartFaceEngine] = None,
                                                    app=engine.app))
     server = make_server(app, host, port)
     logger.info("Serving on http://%s:%d", host, port)
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        # persist the gallery on shutdown (no-op unless
+        # vector_database.snapshot_path is configured)
+        engine.close()

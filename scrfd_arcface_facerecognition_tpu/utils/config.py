@@ -114,6 +114,21 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "tier": "auto",
         "hbm_budget_gb": 4.0,
         "pq_min_train_rows": 4096,
+        # gallery persistence (apps/clustering.py): non-empty path =>
+        # the engine snapshots the vector store after every clustering
+        # batch / merge / clear and restores it on construction when the
+        # snapshot's recorded person-id generation matches SQLite. The
+        # reference silently loses its in-memory Qdrant on restart while
+        # SQLite keeps the persons (its load_embeddings is a no-op health
+        # check, smart_face_recognition.py:1604-1617) — every returning
+        # visitor becomes a new person. Empty string disables (reference
+        # parity default).
+        "snapshot_path": "",
+        # what to do when the snapshot is missing/stale/corrupt while the
+        # DB has persons: "error" (refuse to start with a silently empty
+        # gallery) or "ignore" (log loudly, start empty — the reference's
+        # behavior)
+        "snapshot_stale_policy": "error",
     },
 }
 
