@@ -59,6 +59,24 @@ class UnsupportedOp(ValueError):
     pass
 
 
+# Every op type the executor can dispatch (the union of the branches in
+# GraphExecutor.apply and the static-shape mini-interpreter). Preflight
+# (models/preflight.py) scans release files against this set so an
+# unsupported op fails the sign-off with a NAMED diagnosis up front,
+# instead of an UnsupportedOp traceback mid-parity.
+SUPPORTED_OPS = frozenset({
+    "Conv", "BatchNormalization", "InstanceNormalization", "PRelu",
+    "Relu", "LeakyRelu", "Sigmoid", "Exp", "Tanh", "Sqrt", "Neg", "Abs",
+    "Softplus", "Erf", "HardSigmoid", "HardSwish", "Identity", "Dropout",
+    "Add", "Sub", "Mul", "Div", "Pow", "Min", "Max", "Concat", "Constant",
+    "MaxPool", "AveragePool", "GlobalAveragePool", "Resize", "Upsample",
+    "Shape", "Reshape", "Flatten", "Squeeze", "Unsqueeze", "Transpose",
+    "Slice", "Gather", "Split", "Expand", "Softmax", "ReduceMean",
+    "ReduceSum", "Cast", "Clip", "MatMul", "Gemm", "Where", "Equal",
+    "Greater", "Less", "ConstantOfShape", "Range",
+})
+
+
 def _pair(v, default=(1, 1)):
     if v is None:
         return default

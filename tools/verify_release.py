@@ -442,6 +442,21 @@ def main():
         path, tm, mode = resolve_graph(name, args.weights, tmpdir,
                                        mutate=args.mutate)
         paths[name], modes[name] = path, mode
+        # preflight EVERY file (real or stand-in) before any parity work:
+        # a truncated download / wrong-kind swap / unsupported op fails
+        # here with a named diagnosis instead of a parser traceback
+        # (docs/RUNBOOK.md lists the remedy per class)
+        from scrfd_arcface_facerecognition_tpu.models.preflight import (
+            ReleaseFileError, preflight_graph)
+
+        try:
+            facts = preflight_graph(path, "det" if is_det else "rec")
+        except ReleaseFileError as e:
+            print(f"SIGN-OFF FAIL — {e}")
+            print("See docs/RUNBOOK.md for the per-class remedy.")
+            return 2
+        print(f"[preflight] {name} ({mode}): {facts['family']}, "
+              f"{facts['n_nodes']} nodes, {facts['n_outputs']} outputs OK")
         if mode in ("standin", "mutated"):
             oracle_fwds[name] = torch_forward(tm, is_det)
         else:
