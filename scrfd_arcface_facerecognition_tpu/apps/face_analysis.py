@@ -104,7 +104,8 @@ class FaceAnalysis:
                     "— disable_microbatch() first to retune")
             return mb
         self._microbatcher = MicroBatcher(
-            lambda imgs, max_num=0: self.get_batch(imgs, max_num=max_num),
+            lambda imgs, max_num=0: self._get_batch_direct(
+                imgs, max_num=max_num),
             max_batch=max_batch, max_wait_ms=max_wait_ms)
         return self._microbatcher
 
@@ -128,21 +129,8 @@ class FaceAnalysis:
     def get(self, image, max_num: int = 0) -> List[Face]:
         """Detect + align + embed every face in one BGR image. With
         enable_microbatch(), concurrent calls from different threads
-        coalesce into shared device batches."""
-        mb = self._microbatcher
-        if mb is not None:
-            import threading as _th
-
-            from ..runtime.microbatch import MicroBatcherClosed
-
-            # the collector thread itself must never re-enter submit()
-            if _th.current_thread() is not mb._thread:
-                try:
-                    return mb.submit(np.asarray(image),
-                                     key=("max_num", max_num),
-                                     key_kwargs={"max_num": max_num})
-                except MicroBatcherClosed:
-                    pass   # disable_microbatch() raced us: direct path
+        coalesce into shared device batches (the routing lives in
+        get_batch)."""
         return self.get_batch([np.asarray(image)], max_num=max_num)[0]
 
     # shape-groups at least this large run the static per-shape program
@@ -156,7 +144,38 @@ class FaceAnalysis:
         """Batch version: images of identical shape run as ONE device batch
         (detect + embed fused); mixed shapes merge into shape buckets served
         by the dynamic-letterbox program (numerically identical to
-        exact-shape processing — ops.letterbox_matrices)."""
+        exact-shape processing — ops.letterbox_matrices).
+
+        With enable_microbatch(), REQUEST-sized lists (smaller than
+        MIN_STATIC_GROUP) route item-wise through the shared collector so
+        concurrent web requests — each a 1-2 image get/get_batch call on
+        its own server thread — coalesce into one device batch
+        (runtime/microbatch.py; the serving shape that motivates it is
+        the reference's per-request app.get,
+        smart_face_recognition.py:912-913). submit_async lands ALL of one
+        caller's images in the same batch window, so a compare request
+        pays one max_wait, not two. Large lists are already efficient
+        batches and go direct."""
+        mb = self._microbatcher
+        if mb is not None and 0 < len(images) < self.MIN_STATIC_GROUP:
+            import threading as _th
+
+            from ..runtime.microbatch import MicroBatcherClosed
+
+            # the collector thread itself must never re-enter the batcher
+            if _th.current_thread() is not mb._thread:
+                try:
+                    futs = [mb.submit_async(np.asarray(im),
+                                            key=("max_num", max_num),
+                                            key_kwargs={"max_num": max_num})
+                            for im in images]
+                    return [f.result() for f in futs]
+                except MicroBatcherClosed:
+                    pass   # disable_microbatch() raced us: direct path
+        return self._get_batch_direct(images, max_num=max_num)
+
+    def _get_batch_direct(self, images, max_num: int = 0
+                          ) -> List[List[Face]]:
         images = [np.asarray(im) for im in images]
         out: List[Optional[List[Face]]] = [None] * len(images)
         by_shape = {}

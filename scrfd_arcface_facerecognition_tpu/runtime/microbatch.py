@@ -93,6 +93,15 @@ class MicroBatcher:
         at interpreter shutdown — pass a timeout wherever the caller has
         a latency bound (the webapp serving path does).
         """
+        return self.submit_async(item, key, key_kwargs).result(
+            timeout=timeout)
+
+    def submit_async(self, item: Any, key: Hashable = None,
+                     key_kwargs: Optional[Dict[str, Any]] = None) -> Future:
+        """Non-blocking enqueue: returns the item's Future. Lets ONE
+        caller thread land several items (e.g. the two images of a
+        compare request) in the SAME batch window instead of serializing
+        two windows through blocking submit()s."""
         fut: Future = Future()
         # the lock orders this enqueue against close()'s sentinel: either
         # we enqueue BEFORE the sentinel (guaranteed served) or we see
@@ -101,7 +110,7 @@ class MicroBatcher:
             if self._closed:
                 raise MicroBatcherClosed("MicroBatcher is closed")
             self._q.put((item, key, dict(key_kwargs or {}), fut))
-        return fut.result(timeout=timeout)
+        return fut
 
     def close(self, join_timeout: float = 5.0, abort: bool = False) -> bool:
         """Stop accepting work. Default: everything already queued still

@@ -89,6 +89,17 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "port": 8000,
         "cache_control_max_age": 3600,
     },
+    "serving": {
+        # request micro-batching (runtime/microbatch.py): coalesce
+        # concurrent single-image web requests into shared device batches
+        # (measured 1.8x throughput under concurrency, docs/PERF.md
+        # "Concurrent-request coalescing"). Latency cost is bounded by
+        # microbatch_max_wait_ms per request. Off by default: it only
+        # helps when requests actually overlap.
+        "microbatch": False,
+        "microbatch_max_batch": 32,
+        "microbatch_max_wait_ms": 4.0,
+    },
     "processing": {
         "max_visits_fallback": 149,
         "max_visits_default": 500,

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from scrfd_arcface_facerecognition_tpu.apps.face_analysis import Face
+from scrfd_arcface_facerecognition_tpu.apps.face_analysis import (
+    Face, FaceAnalysis)
 
 EMB_DIM = 512
 
@@ -42,6 +43,7 @@ class FakeFaceAnalysis:
         self.bbox = np.asarray(bbox, np.float32)
         self.no_face_identities = set(no_face_identities)
         self.batch_calls = 0
+        self._microbatcher = None
 
     def prepare(self, ctx_id=0, det_size=(640, 640), det_thresh=0.5):
         pass
@@ -61,9 +63,18 @@ class FakeFaceAnalysis:
                      normed_embedding=emb)]
 
     def get(self, image, max_num: int = 0):
-        return self._faces_for(np.asarray(image))
+        return self.get_batch([np.asarray(image)], max_num=max_num)[0]
 
-    def get_batch(self, images, max_num: int = 0):
+    # the REAL routing layer (request-sized lists coalesce through the
+    # MicroBatcher once enable_microbatch is called, e.g. via the
+    # serving.microbatch config key) over the fake compute — so the
+    # serving-path wiring is testable offline
+    get_batch = FaceAnalysis.get_batch
+    enable_microbatch = FaceAnalysis.enable_microbatch
+    disable_microbatch = FaceAnalysis.disable_microbatch
+    MIN_STATIC_GROUP = FaceAnalysis.MIN_STATIC_GROUP
+
+    def _get_batch_direct(self, images, max_num: int = 0):
         self.batch_calls += 1
         return [self._faces_for(np.asarray(im)) for im in images]
 
