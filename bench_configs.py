@@ -250,6 +250,43 @@ def main():
         "value": round(n / dt, 2), "unit": "frames/sec/chip",
         "per_stream_fps": round(n / dt / n_streams, 2)})
 
+    # (c) same e2e path through the multi-process DecodePool (worker
+    # processes -> shared-memory slots -> device batches), closing the
+    # loop bench_ingest.py measures host-only. On this 1-core VM the pool
+    # can't beat threads (workers time-slice one core and spawn costs
+    # ~0.5 s/worker); the row exists to prove the full chain feeds the
+    # chip and to be re-run on a multi-core deployment host where the
+    # measured 1.7x/core decode advantage (docs/PERF.md) compounds.
+    from scrfd_arcface_facerecognition_tpu.runtime.decode_pool import (
+        DecodePool)
+
+    pool = DecodePool(paths_v, workers=max(2, os.cpu_count() or 1))
+    t0 = time.perf_counter()
+    n = 0
+    try:
+        def pool_batches():
+            for batch_np, ids in pool:
+                if len(ids) == n_streams:   # full cycles only (one compile)
+                    yield jnp.asarray(batch_np)
+        o = None
+        for o in pipe2.process_stream(pool_batches(), max_num=10):
+            n += o.boxes.shape[0]
+        if o is None:
+            raise RuntimeError(
+                f"no full {n_streams}-stream cycle was ever assembled "
+                "through the decode pool (a worker failed to open a "
+                "source or stalled on its first frame)")
+        _ = np.asarray(o.match_sim[0, 0])
+    finally:
+        pool.release()
+    dt = time.perf_counter() - t0
+    results.append({
+        "metric": f"decodepool_aggregate_fps ({n_streams} x 1080p mp4 "
+                  "worker-process decode->shared-memory slots->upload->"
+                  "detect+embed+match e2e; 1-core host, see docs/PERF.md)",
+        "value": round(n / dt, 2), "unit": "frames/sec/chip",
+        "per_stream_fps": round(n / dt / n_streams, 2)})
+
     import shutil
 
     shutil.rmtree(tmpdir, ignore_errors=True)

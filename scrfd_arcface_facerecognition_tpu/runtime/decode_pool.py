@@ -20,6 +20,9 @@ order is preserved by construction.
 Iteration contract matches runtime/video.py MultiStreamReader: yields
 (batch, stream_ids) with one frame per live stream per round; streams that
 end or stall past timeout_ms drop out; iteration stops when none remain.
+A stream that has never delivered a frame is "connecting", not stalled:
+it gets startup_timeout_ms (worker spawn + imports on a loaded host, rtsp
+handshakes) as long as its worker process is alive.
 
 NOTE: as with any spawn/forkserver multiprocessing, the calling script
 needs the standard `if __name__ == "__main__":` guard.
@@ -156,11 +159,14 @@ class DecodePool:
     slots_per_stream: each stream's in-flight frame quota (default 4).
     slot_bytes: frame capacity per slot (default 1080p BGR; larger
     sources drop out at decode time — pass explicitly for >1080p).
+    timeout_ms: per-round stall bound for streams that have delivered.
+    startup_timeout_ms: first-delivery grace while the worker is alive.
     """
 
     def __init__(self, sources: Sequence, workers: Optional[int] = None,
                  slot_bytes: Optional[int] = None,
                  slots_per_stream: int = 4, timeout_ms: int = 10000,
+                 startup_timeout_ms: int = 120000,
                  start_method: Optional[str] = None):
         from multiprocessing import shared_memory
 
@@ -168,6 +174,12 @@ class DecodePool:
         if n == 0:
             raise ValueError("DecodePool needs at least one source")
         self.timeout_ms = timeout_ms
+        # a stream that has NEVER delivered is "connecting", not "stalled":
+        # worker spawn + numpy/cv2 imports on a loaded host (or an rtsp
+        # handshake) routinely exceed timeout_ms, and dropping every camera
+        # at startup served zero frames. While the owning worker process is
+        # alive, first delivery gets this larger grace instead.
+        self.startup_timeout_ms = max(startup_timeout_ms, timeout_ms)
         self.n_streams = n
         workers = max(1, min(workers or (os.cpu_count() or 1), n))
         slot_bytes = slot_bytes or 1920 * 1080 * 3
@@ -199,6 +211,7 @@ class DecodePool:
                 self._free_qs[sid].put(sid * slots_per_stream + k)
         self._stop = ctx.Event()
         self._procs: List = []
+        self._proc_of: Dict[int, object] = {}
         self._closed = False
 
         assign: List[Tuple[List, List[int]]] = [([], [])
@@ -224,6 +237,8 @@ class DecodePool:
                     daemon=True)
                 p.start()
                 self._procs.append(p)
+                for s in sids:
+                    self._proc_of[s] = p
         finally:
             os.environ.update(scrubbed)
         self.n_workers = len(self._procs)
@@ -241,6 +256,8 @@ class DecodePool:
 
     def __iter__(self):
         live = set(range(self.n_streams))
+        started: set = set()   # streams that have ever delivered (or eos'd)
+        hard_deadline = time.monotonic() + self.startup_timeout_ms / 1000
         while live:
             got: Dict[int, Tuple[int, int, int, float]] = {}
             # wait on every live stream CONCURRENTLY: each gets the full
@@ -261,15 +278,31 @@ class DecodePool:
                         continue
                     progressed = True
                     pending.discard(sid)
+                    started.add(sid)
                     if msg is None:
                         live.discard(sid)  # stream ended (eos)
                     else:
                         got[sid] = msg
                 if not pending:
                     break
-                if time.monotonic() >= deadline:
-                    live -= pending        # stalled cameras drop out
-                    break
+                now = time.monotonic()
+                if now >= deadline:
+                    # streams that have delivered before are genuinely
+                    # stalled; never-started streams whose worker is still
+                    # alive are CONNECTING — give them the startup grace
+                    # (one shared hard deadline, so a hung source can't
+                    # wedge iteration forever)
+                    stalled = {s for s in pending
+                               if s in started
+                               or not self._proc_of[s].is_alive()
+                               or now >= hard_deadline}
+                    if stalled:
+                        live -= stalled
+                        pending -= stalled
+                    if not pending or got:
+                        # serve what we have; still-connecting streams
+                        # join in a later round
+                        break
                 if not progressed:
                     time.sleep(0.005)
             if not got:

