@@ -303,6 +303,13 @@ class SmartFaceEngine:
             logger.info("side face rejected in: %s", source)
             return None, "no_face"
         embedding = face.normed_embedding
+        if not np.all(np.isfinite(np.asarray(embedding))):
+            # a non-finite embedding is an upstream numerics bug, never a
+            # property of the image — reject loudly instead of ingesting
+            # a vector whose identical NaN md5 hash would alias every
+            # later failure into one person (found by exp_decisions)
+            logger.error("non-finite embedding for %s — rejecting", source)
+            return None, "no_face"
         scores = Q.assess_face_quality(face, self.config)
         if scores["overall"] < self.config["face_detection"]["min_quality_threshold"]:
             logger.info("face quality extremely low in: %s", source)

@@ -314,6 +314,8 @@ class AutoGallery:
         vec = np.asarray(embedding, np.float32).reshape(-1)
         if vec.shape[0] != self.vector_size:
             return False
+        if not np.all(np.isfinite(vec)):
+            return False   # store.add_embedding semantics on both tiers
         self._maybe_finalize()
         if self._pq is None:
             ok = self._dense.add_embedding(person_id, vec, payload)

@@ -72,6 +72,9 @@ class GalleryStore:
         sims = jnp.dot(q, emb.T, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
         sims = jnp.where(valid[None, :], sims, -jnp.inf)
+        # NaN sims (non-finite query) sort FIRST in top_k, silently eating
+        # the k slots; rank them last instead
+        sims = jnp.where(jnp.isnan(sims), -jnp.inf, sims)
         return jax.lax.top_k(sims, k)
 
     def _grow(self, min_capacity: Optional[int] = None) -> None:
@@ -103,6 +106,10 @@ class GalleryStore:
         """Upsert one embedding (qdrant_manager.py:91 semantics)."""
         vec = np.asarray(embedding, dtype=np.float32).reshape(-1)
         if vec.shape[0] != self.vector_size:
+            return False
+        if not np.all(np.isfinite(vec)):
+            # a NaN row would poison every later search (NaN cosines sort
+            # first in top-k); refuse it so callers' rollback paths fire
             return False
         if person_id in self._row_of:
             row = self._row_of[person_id]
@@ -136,6 +143,13 @@ class GalleryStore:
         mat = np.atleast_2d(np.asarray(embeddings, np.float32))
         if mat.shape[0] != len(ids) or mat.shape[1] != self.vector_size:
             return 0
+        finite = np.all(np.isfinite(mat), axis=1)
+        if not finite.all():   # refuse NaN/inf rows (see add_embedding)
+            keep = np.flatnonzero(finite)
+            ids = ids[keep]
+            mat = mat[keep]
+            if payloads is not None:
+                payloads = [payloads[i] for i in keep]
         if payloads is not None and len(payloads) != len(ids):
             raise ValueError("payloads length must match ids")
         if len(ids) == 0:   # a filtered-to-empty batch is a no-op, not an

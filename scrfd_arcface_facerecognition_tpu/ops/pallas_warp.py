@@ -378,15 +378,22 @@ def warp_crops_pallas(frames_planar: jnp.ndarray, canvas_planar: jnp.ndarray,
     frames_planar = frames_planar.astype(jnp.bfloat16)
     canvas_planar = canvas_planar.astype(jnp.bfloat16)
 
-    # Mosaic requires 128-aligned minor dims for the plane DMAs; pad the
-    # source widths (faces preferring level 0 on an unalignable frame are
-    # fallback-flagged by prepare_warp_params, so padded lanes are only
-    # read under the "force" policy, which documents the degradation).
+    # Mosaic requires 128-aligned minor dims for the plane DMAs, and the
+    # kernel always reads a PW-lane x-window: pad the source widths to
+    # max(128-aligned, PW). The PW floor is a correctness requirement, not
+    # an optimization — planes narrower than PW (detector inputs < 512
+    # wide give a canvas narrower than the 512-lane tight_letterbox_plan
+    # floor, which caps at model_hw) would otherwise be read out of
+    # bounds, producing garbage crops -> NaN embeddings (found by the
+    # decision-quality eval at det_size 320, tools/exp_decisions.py).
+    # Padded lanes are zero, which is exactly the warp's zero border, so
+    # narrow sources are handled EXACTLY: the [0, PW) window covers the
+    # whole plane.
     def pad_lanes(p):
         w = p.shape[-1]
-        pad = (-w) % 128
-        if pad:
-            p = jnp.pad(p, [(0, 0)] * (p.ndim - 1) + [(0, pad)])
+        target = max(PW, ((w + 127) // 128) * 128)
+        if target > w:
+            p = jnp.pad(p, [(0, 0)] * (p.ndim - 1) + [(0, target - w)])
         return p
 
     # rows padded to a 16-multiple >= R so the 16-aligned j0 window clamp

@@ -301,3 +301,36 @@ def test_compaction_crash_window_is_restorable(tmp_path):
     m_r, ids_r = r.dense_matrix()
     assert ids_live == ids_r
     np.testing.assert_allclose(m_r, m_live, atol=1e-6)
+
+
+def test_nonfinite_vectors_are_refused():
+    """NaN/inf rows would poison every later search (NaN cosines sort
+    first in top-k, silently eating the k slots), and a NaN embedding's
+    identical md5 face-hash aliases every later failure into one person
+    (found by tools/exp_decisions.py when a warp bug produced NaN
+    embeddings): the store must refuse them so callers' rollback paths
+    fire."""
+    g = GalleryStore(vector_size=8, capacity=16)
+    good = np.ones(8, np.float32)
+    bad_nan = good.copy(); bad_nan[3] = np.nan
+    bad_inf = good.copy(); bad_inf[0] = np.inf
+    assert not g.add_embedding(1, bad_nan)
+    assert not g.add_embedding(2, bad_inf)
+    assert g.get_embedding_count() == 0
+    # add_batch keeps the finite rows and drops the rest
+    ids = [3, 4, 5]
+    mat = np.stack([good, bad_nan, good * 2])
+    assert g.add_batch(ids, mat, [{"n": i} for i in ids]) == 2
+    assert sorted(g.ids()) == [3, 5]
+    # a NaN query must return no hits rather than NaN-scored ones
+    hits = g.search_similar(bad_nan, k=2, threshold=None)
+    assert hits == []
+
+
+def test_autogallery_refuses_nonfinite():
+    from scrfd_arcface_facerecognition_tpu.gallery.auto import AutoGallery
+
+    ag = AutoGallery(vector_size=8, pq_m=4)
+    bad = np.ones(8, np.float32); bad[0] = np.nan
+    assert not ag.add_embedding(1, bad)
+    assert ag.get_embedding_count() == 0

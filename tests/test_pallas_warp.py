@@ -300,3 +300,42 @@ def test_envelope_fuzz_against_exact_warp(frames):
         # as means >> 10
         assert d.mean() < 2.5, (i, specs[i], d.mean())
         assert np.percentile(d, 99) < 16.0, (i, specs[i])
+
+
+def test_narrow_source_planes_pad_to_window():
+    """Sources narrower than the PW=512 x-window must be padded, not read
+    out of bounds. A 320x320 frame (detector input 320 caps the tight
+    canvas at 320 wide — below the 512 floor) hit exactly this: the
+    kernel's [ox, ox+PW) window overran the 384-lane padded plane and
+    produced garbage crops -> NaN embeddings in the decision-quality eval
+    (tools/exp_decisions.py). Padded lanes are zero — the warp's defined
+    border — so narrow sources must now match the exact warp."""
+    rng = np.random.default_rng(7)
+    import cv2
+    base = rng.integers(0, 255, (1, 40, 40, 3)).astype(np.float32)
+    frames320 = jnp.asarray(np.clip(np.stack(
+        [cv2.resize(b, (320, 320)) for b in base]), 0, 255).astype(np.uint8))
+    # faces spread across the narrow frame, scales up to near the eval's
+    # 208px paste boxes (sigma ~ 1.86)
+    specs = [(1.0 / 1.6, 0.0, 160.0, 160.0),
+             (1.0 / 1.86, 0.05, 100.0, 220.0),
+             (1.0, -0.08, 250.0, 80.0)]
+    m = _matrices(specs)
+    fidx = jnp.zeros((len(specs),), jnp.int32)
+    plan = ops.tight_letterbox_plan((320, 320), (320, 320))
+    assert plan.model_hw[1] < pw.PW   # the regression's precondition
+    params = pw.prepare_warp_params(m, fidx, (320, 320), plan.det_scale,
+                                    canvas_hw=plan.model_hw)
+    canvas = jnp.clip(jnp.round(ops.letterbox(frames320, plan)), 0, 255
+                      ).astype(jnp.uint8)
+    crops = pw.warp_crops_pallas(pw.planarize(frames320),
+                                 pw.planarize(canvas), params,
+                                 interpret=True)
+    got = np.asarray(crops)
+    assert np.all(np.isfinite(got))
+    exact = np.asarray(_xla_reference(frames320, m, fidx))
+    ok = ~np.asarray(params.fallback)
+    assert ok.all()          # in-envelope geometry must not need fallback
+    for i in range(len(specs)):
+        d = np.abs(got[i] - exact[i])
+        assert d.mean() < 2.5, (i, d.mean())

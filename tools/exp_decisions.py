@@ -541,6 +541,51 @@ def run_decision_eval(det_vars, emb_vars, crops, test_ids, workdir,
     for u, p in assign.items():
         id_clusters.setdefault(truth[u], set()).add(p)
 
+    # Duplicate-absorbed visits: the >=0.95 gate skips near-identical
+    # re-sightings WITHOUT recording which person they matched (faithful
+    # to reference :2636-2645, which stores nothing for duplicates), so
+    # they count as unassigned in the raw pairwise recall even when the
+    # skip was the right call. For ground-truth scoring we attribute each
+    # absorbed visit post-hoc to the person whose stored embedding it
+    # matched; a skip is CORRECT iff that person is the same identity.
+    # `grouping_attributed` is therefore the meaningful recall; the raw
+    # `grouping` number stays reported for transparency.
+    pid_truth = {}
+    for u, p in assign.items():
+        pid_truth.setdefault(p, []).append(truth[u])
+    pid_truth = {p: max(set(v), key=v.count) for p, v in pid_truth.items()}
+    attributed = dict(assign)
+    n_absorbed = n_attr = n_attr_correct = 0
+    for url in sorted(truth):
+        if url in attributed:
+            continue
+        n_absorbed += 1
+        faces = app.get(scenes[url])
+        data, _reason = engine._gate_face(engine._best_face(faces), url)
+        if data is None:
+            if n_absorbed <= 3 or os.environ.get("DECISIONS_DEBUG"):
+                log(json.dumps({"debug": "attr_gate_reject", "url": url,
+                                "reason": _reason,
+                                "n_faces": len(faces or [])}))
+            continue
+        hits = engine.vector_db.search_similar(data["embedding"], k=1,
+                                               threshold=None)
+        if not hits:
+            if n_absorbed <= 3 or os.environ.get("DECISIONS_DEBUG"):
+                q = np.asarray(data["embedding"], np.float32)
+                log(json.dumps({
+                    "debug": "attr_no_hits", "url": url,
+                    "gallery_count": engine.vector_db.get_embedding_count(),
+                    "qnorm": round(float(np.linalg.norm(q)), 4),
+                    "q_finite": bool(np.all(np.isfinite(q))),
+                    "k3": repr(engine.vector_db.search_similar(
+                        q, k=3, threshold=None))[:160]}))
+            continue
+        attributed[url] = hits[0].id
+        n_attr += 1
+        n_attr_correct += pid_truth.get(hits[0].id) == truth[url]
+    prf_attr = pairwise_prf(attributed, truth)
+
     # verification through the reference-shaped compare path
     vrng = np.random.default_rng(seed + 13)
     same_sims, diff_sims, correct = [], [], 0
@@ -610,6 +655,13 @@ def run_decision_eval(det_vars, emb_vars, crops, test_ids, workdir,
         "n_visits": len(visits), "elapsed_s": round(elapsed, 1),
         "counters": counters,
         "grouping": prf,
+        "grouping_attributed": prf_attr,
+        "duplicate_attribution": {
+            "absorbed": n_absorbed, "attributed": n_attr,
+            "correct": n_attr_correct,
+            "accuracy": round(n_attr_correct / n_attr, 4) if n_attr
+            else None,
+        },
         "n_identities_with_cluster": n_ids_detected,
         "mean_clusters_per_identity": round(
             float(np.mean([len(s) for s in id_clusters.values()])), 3)
