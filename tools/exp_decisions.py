@@ -491,9 +491,13 @@ def run_decision_eval(det_vars, emb_vars, crops, test_ids, workdir,
     visits.append({"id": "v_dup_url", "customerId": "cust_dup_url",
                    "entryTime": "2026-08-19T12:00:01", "image": dup_url})
     # (b) same pixels under a fresh URL -> the >=0.95 embedding duplicate
-    #     gate (reference :2636-2645)
+    #     gate (reference :2636-2645). Must duplicate a visit that CREATES
+    #     a person (the first visit, on an empty gallery): stored person
+    #     embeddings are the creator's, so copying a later visit's pixels
+    #     would score ~0.7 against its person and JOIN instead of firing
+    #     the gate.
     emb_dup_url = "http://decisions/dup-pixels.jpg"
-    scenes[emb_dup_url] = scenes[visits[1]["image"]]
+    scenes[emb_dup_url] = scenes[visits[0]["image"]]
     visits.append({"id": "v_dup_emb", "customerId": "cust_dup_emb",
                    "entryTime": "2026-08-19T12:00:02", "image": emb_dup_url})
 
@@ -531,10 +535,12 @@ def run_decision_eval(det_vars, emb_vars, crops, test_ids, workdir,
     elapsed = time.time() - t0
 
     # clustering assignment: url -> person_id from the persistence layer
+    # (restricted to ground-truth visits: probe URLs carry no truth label)
     assign = {}
     for pid, _name in engine.db.list_persons():
         for v in engine.db.visits_for_person(pid):
-            assign[v["image_url"]] = pid
+            if v["image_url"] in truth:
+                assign[v["image_url"]] = pid
     prf = pairwise_prf(assign, truth)
     n_ids_detected = len({truth[u] for u in assign})
     id_clusters = {}
