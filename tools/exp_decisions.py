@@ -458,7 +458,8 @@ def pairwise_prf(assign, truth):
 
 def run_decision_eval(det_vars, emb_vars, crops, test_ids, workdir,
                       visits_per_id=6, n_verif_pairs=40, seed=0,
-                      entry="json", log=print, app=None):
+                      entry="json", log=print, app=None,
+                      grouping_thr=None):
     """The deliverable: the full clustering decide-path on ground-truth
     data. Returns a metrics dict (see docs/DECISIONS.md)."""
     import cv2
@@ -511,6 +512,9 @@ def run_decision_eval(det_vars, emb_vars, crops, test_ids, workdir,
 
     os.makedirs(workdir, exist_ok=True)
     cfg = load_config("config.json")
+    if grouping_thr is not None:   # threshold sweep (--sweep-thresholds)
+        cfg["face_recognition"]["grouping_threshold_json"] = grouping_thr
+        cfg["face_recognition"]["grouping_threshold_file"] = grouping_thr
     # the ctor consumes image_cache_dir (and mkdirs it) — override BEFORE
     cfg["system"]["image_cache_dir"] = os.path.join(workdir, "cache")
     engine = SmartFaceEngine(
@@ -696,6 +700,11 @@ def main():
     ap.add_argument("--workdir", default="/tmp/decisions_eval")
     ap.add_argument("--visits-per-id", type=int, default=6)
     ap.add_argument("--entry", choices=["json", "file"], default="json")
+    ap.add_argument("--sweep-thresholds", type=float, nargs="*",
+                    default=None,
+                    help="eval once per grouping threshold (one process, "
+                         "shared compile cache); writes "
+                         "metrics_sweep.json instead of metrics_<entry>")
     ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"],
                     help="force a JAX backend (cpu = local; the env var "
                          "alone is too late on this machine — sitecustomize "
@@ -737,14 +746,28 @@ def main():
     if args.cmd in ("eval", "all"):
         if args.cmd == "eval":
             det_vars, emb_vars, meta = load_checkpoints()
-        metrics = run_decision_eval(det_vars, emb_vars, crops, test_ids,
-                                    args.workdir,
-                                    visits_per_id=args.visits_per_id,
-                                    seed=args.seed, entry=args.entry,
-                                    log=log)
-        out = os.path.join(CKPT_DIR, f"metrics_{args.entry}.json")
-        with open(out, "w") as f:
-            json.dump(metrics, f, indent=2)
+        if args.sweep_thresholds:
+            app = build_app(det_vars, emb_vars)   # shared compile cache
+            sweep = []
+            for thr in args.sweep_thresholds:
+                m = run_decision_eval(
+                    det_vars, emb_vars, crops, test_ids,
+                    os.path.join(args.workdir, f"thr_{thr:g}"),
+                    visits_per_id=args.visits_per_id, seed=args.seed,
+                    entry=args.entry, log=log, app=app, grouping_thr=thr)
+                sweep.append(m)
+            out = os.path.join(CKPT_DIR, "metrics_sweep.json")
+            with open(out, "w") as f:
+                json.dump(sweep, f, indent=2)
+        else:
+            metrics = run_decision_eval(det_vars, emb_vars, crops, test_ids,
+                                        args.workdir,
+                                        visits_per_id=args.visits_per_id,
+                                        seed=args.seed, entry=args.entry,
+                                        log=log)
+            out = os.path.join(CKPT_DIR, f"metrics_{args.entry}.json")
+            with open(out, "w") as f:
+                json.dump(metrics, f, indent=2)
         print(json.dumps({"stage": "done", "metrics_file": out}), flush=True)
     return 0
 
